@@ -1,0 +1,66 @@
+"""Checkpoint / resume via Orbax.
+
+The reference has no checkpointing at all (SURVEY.md section 5: weights live
+in torch tensors aliased by C++ and are never saved; an MPI rank failure
+kills the job). This module adds the capability idiomatically: the full
+TrainState pytree (embedding shards, aggregator weights, grad accumulators,
+lr, step), the sampler state, and the epoch counter are saved per epoch and
+restorable onto any mesh layout (Orbax reshards on restore).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin wrapper over ocp.CheckpointManager for Engine state."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, engine) -> None:
+        """Save engine state keyed by its epoch counter."""
+        payload = {
+            "state": engine.state,
+            "sampler": engine.sampler_state,
+            "key": jax.random.key_data(engine._key),
+            "epoch": np.asarray(engine.epoch, np.int64),
+        }
+        self._mgr.save(engine.epoch, args=ocp.args.StandardSave(payload))
+        self._mgr.wait_until_finished()
+
+    def restore_latest(self, engine) -> Optional[int]:
+        """Restore the newest checkpoint into the engine; returns its epoch
+        or None when the directory is empty."""
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        template = {
+            "state": engine.state,
+            "sampler": engine.sampler_state,
+            "key": jax.random.key_data(engine._key),
+            "epoch": np.asarray(engine.epoch, np.int64),
+        }
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(template)
+        )
+        engine.state = restored["state"]
+        engine.sampler_state = restored["sampler"]
+        engine._key = jax.random.wrap_key_data(restored["key"])
+        engine.epoch = int(restored["epoch"])
+        return step
+
+    def close(self) -> None:
+        self._mgr.close()

@@ -1,0 +1,212 @@
+"""Configuration system.
+
+Mirrors the reference's two-tier config (YAML file -> Python config object ->
+training core) with the same YAML schema and key names, so the reference's
+benchmark configs run unchanged:
+
+* reference Python side: ``cf/cf_config.py:5-40``, ``cf/utils.py:5-8``
+* reference C++ POD:     ``src/modules/cf_config.hpp:12-35``
+* reference YAML schema: ``cf/benchmarks/*/MF_CCL/configs/config0.yaml``
+
+Unlike the reference (where YAML keys not consumed by CFConfig are read
+ad-hoc by the driver or silently dropped), every key is parsed here and
+unknown keys raise, so config drift is caught early.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import yaml
+
+# Negative-sampler selector values (reference: cf_config.hpp:27 `neg_sampler`,
+# dispatched at engine.cpp:195-201).
+NEG_SAMPLER_UNIFORM = 0
+NEG_SAMPLER_TILE = 1
+
+# SGD semantics selector. "batch" is clean minibatch SGD (the TPU-idiomatic
+# default). "accum" replicates the reference's quirk of persistent gradient
+# rows that accumulate across a sub-epoch and are only zeroed at sub-epoch
+# boundaries (engine.cpp:344-347; accumulation at matrix_factorization.cpp:
+# 118-150 via `+=` into grad rows read from the grad table).
+SGD_MODE_BATCH = "batch"
+SGD_MODE_ACCUM = "accum"
+
+
+@dataclasses.dataclass
+class CFConfig:
+    """Hyperparameters for a collaborative-filtering training run.
+
+    Field names follow the reference CFConfig (cf_config.hpp:12-35) plus the
+    model_config YAML keys the reference driver reads ad-hoc (epochs,
+    eval_interval, metrics, seed, ...).
+    """
+
+    # --- model geometry -------------------------------------------------
+    emb_dim: int = 64
+    num_users: int = 128
+    num_items: int = 128
+    train_size: int = 128
+    max_his: int = 8            # max user-history length (datasets.py:27)
+
+    # --- loss / similarity ----------------------------------------------
+    # Reference computes cosine similarity regardless of the YAML
+    # `similarity_score: dot` label (matrix_factorization.cpp:91-95); both
+    # are implemented here, cosine is the default for parity.
+    similarity: str = "cosine"          # "cosine" | "dot"
+    loss: str = "PairwiseLogisticLoss"  # "PairwiseLogisticLoss" | "CosineContrastiveLoss" | "SigmoidPairwiseLoss"
+    temperature: float = 0.07   # score multiplier 1/0.07 (matrix_factorization.cpp:101)
+    ccl_margin: float = 0.8     # CosineContrastiveLoss margin (SimpleX)
+    ccl_neg_weight: float = 150.0  # CosineContrastiveLoss negative weight (SimpleX)
+
+    # --- negative sampling ----------------------------------------------
+    num_negs: int = 4
+    neg_sampler: int = NEG_SAMPLER_UNIFORM
+    tile_size: int = 1024       # RandomTileNegativeSampler tile (random_tile_negative_sampler.cpp:22-45)
+    refresh_interval: int = 2048
+    ignore_pos: bool = True     # resample a draw that hits the positive
+                                # (uniform_random_negative_sampler.cpp:26-36)
+
+    # --- behavior aggregator --------------------------------------------
+    gamma: float = 0.4          # user/history blend (behavior_aggregators.cpp:37,122)
+    aggr_minibatch: int = 32    # weights0 update cadence (behavior_aggregators.cpp:32,141-146)
+
+    # --- optimizer -------------------------------------------------------
+    l_r: float = 1.0e-3
+    clip_val: float = 0.1       # elementwise +-clip before SGD (optimizer.cpp:17-22)
+    l2: float = 1.0e-3          # accepted for schema parity; the reference's
+                                # l2 path is commented out (matrix_factorization.cpp:145-146,165,168)
+    l2_enabled: bool = False    # opt-in: apply l2 to touched rows
+    milestones: Sequence[int] = dataclasses.field(default_factory=list)
+    lr_gamma: float = 0.1       # LR decay factor (engine.cpp:157-159)
+    sgd_mode: str = SGD_MODE_BATCH
+
+    # --- schedule ---------------------------------------------------------
+    epochs: int = 1
+    eval_interval: int = 2
+    num_subepochs: int = 1      # item-column partitioning rounds per epoch
+                                # (engine.cpp:108-121; reference default 2)
+    batch_size: int = 8192
+    metrics: Sequence[str] = dataclasses.field(
+        default_factory=lambda: ["Recall(k=20)"]
+    )
+    seed: int = 2022
+
+    # --- precision --------------------------------------------------------
+    param_dtype: str = "float32"   # embedding-table dtype
+    compute_dtype: str = "float32"  # scoring-matmul dtype
+
+    def __post_init__(self) -> None:
+        if self.similarity not in ("cosine", "dot"):
+            raise ValueError(f"unknown similarity {self.similarity!r}")
+        if self.sgd_mode not in (SGD_MODE_BATCH, SGD_MODE_ACCUM):
+            raise ValueError(f"unknown sgd_mode {self.sgd_mode!r}")
+        if self.loss not in (
+            "PairwiseLogisticLoss",
+            "CosineContrastiveLoss",
+            "SigmoidPairwiseLoss",
+        ):
+            raise ValueError(f"unknown loss {self.loss!r}")
+        self.milestones = list(self.milestones)
+        self.metrics = list(self.metrics)
+
+    # -- derived -----------------------------------------------------------
+    @property
+    def score_mul(self) -> float:
+        """Inverse temperature applied to score differences."""
+        return 1.0 / self.temperature
+
+
+# YAML model_config key -> CFConfig field (reference main.py:40-44 mapping).
+_MODEL_KEY_MAP = {
+    "embedding_dim": "emb_dim",
+    "num_negs": "num_negs",
+    "max_his": "max_his",
+    "neg_sampler": "neg_sampler",
+    "tile_size": "tile_size",
+    "refresh_interval": "refresh_interval",
+    "embedding_regularizer": "l2",
+    "clip_val": "clip_val",
+    "milestones": "milestones",
+    "learning_rate": "l_r",
+    "loss": "loss",
+    "metrics": "metrics",
+    "epochs": "epochs",
+    "eval_interval": "eval_interval",
+    "seed": "seed",
+    "batch_size": "batch_size",
+    "num_subepochs": "num_subepochs",
+    "num_subepoches": "num_subepochs",  # reference spelling (cf_config.py:8)
+    "sgd_mode": "sgd_mode",
+    "gamma": "gamma",
+    "temperature": "temperature",
+    "param_dtype": "param_dtype",
+    "compute_dtype": "compute_dtype",
+}
+
+# Keys present in reference YAMLs that the reference itself never consumes
+# (SURVEY.md section 5 "Config / flag system"); accepted and dropped with a
+# deliberate allowlist rather than silently.
+_IGNORED_MODEL_KEYS = {
+    "embedding_dropout",
+    "net_regularizer",
+    "net_dropout",
+    "optimizer",  # reference hardcodes SGD (engine.cpp:16)
+}
+
+# `similarity_score: dot` in reference YAMLs is a mislabel — the kernel
+# computes cosine (matrix_factorization.cpp:91-95). Accept the key but keep
+# cosine unless explicitly overridden via `similarity`.
+_SIMILARITY_KEYS = {"similarity_score", "similarity"}
+
+
+@dataclasses.dataclass
+class DatasetConfig:
+    """dataset_config block of the reference YAML schema."""
+
+    data_dir: str = ""
+    train_data: str = "train.txt"
+    test_data: str = "test.txt"
+    separator: str = " "
+    data_format: str = "txt"
+
+
+def config_from_dicts(
+    model_config: dict[str, Any], overrides: dict[str, Any] | None = None
+) -> CFConfig:
+    """Build a CFConfig from a reference-schema model_config dict."""
+    kwargs: dict[str, Any] = {}
+    for key, value in model_config.items():
+        if key in _MODEL_KEY_MAP:
+            kwargs[_MODEL_KEY_MAP[key]] = value
+        elif key in _SIMILARITY_KEYS:
+            if key == "similarity":
+                kwargs["similarity"] = value
+        elif key in _IGNORED_MODEL_KEYS:
+            continue
+        else:
+            raise KeyError(f"unknown model_config key {key!r}")
+    if overrides:
+        kwargs.update(overrides)
+    return CFConfig(**kwargs)
+
+
+def load_config(path: str, **overrides: Any) -> tuple[CFConfig, DatasetConfig]:
+    """Load a reference-format YAML config file.
+
+    Returns (CFConfig, DatasetConfig). Equivalent to utils.load_config +
+    the CFConfig construction in main.py:34-44.
+    """
+    with open(path, "r") as fh:
+        config_dic = yaml.safe_load(fh)
+    dataset_dic = config_dic.get("dataset_config", {})
+    model_dic = config_dic.get("model_config", {})
+    dataset_config = DatasetConfig(
+        **{
+            k: v
+            for k, v in dataset_dic.items()
+            if k in {f.name for f in dataclasses.fields(DatasetConfig)}
+        }
+    )
+    return config_from_dicts(model_dic, overrides), dataset_config

@@ -1,0 +1,176 @@
+"""Ranking-quality metrics.
+
+The full metric library of the reference (cf/metrics.py:39-158): Recall,
+NormalizedRecall, Precision, F1, DCG, NDCG, MRR, HitRate, MAP — identical
+formulas, including the reference's idiosyncrasies:
+
+* DCG uses natural log: sum over hit ranks i (0-based) of 1/ln(2+i)
+  (metrics.py:99);
+* MRR *sums* reciprocal ranks over all hits rather than taking the first
+  (metrics.py:122-128);
+* the 1e-12 epsilon denominators.
+
+String specs like ``'Recall(k=20)'`` are parsed with a strict regex rather
+than the reference's ``eval`` (metrics.py:15).
+
+Unlike the reference — which zips full sim-matrix rows against
+test-users-only truth lists and silently misaligns when a user has no test
+items — metrics here are computed exactly over the users that have at least
+one test item.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Sequence
+
+import numpy as np
+
+_METRIC_RE = re.compile(r"^(\w+)\(k=(\d+)\)$")
+
+
+def parse_metric(spec: str) -> tuple[str, int]:
+    """'Recall(k=20)' -> ('Recall', 20)."""
+    m = _METRIC_RE.match(spec.strip())
+    if not m or m.group(1) not in _METRIC_FNS:
+        raise NotImplementedError(f"metrics={spec} not implemented.")
+    return m.group(1), int(m.group(2))
+
+
+def _dcg_from_hits(hits: np.ndarray) -> np.ndarray:
+    """hits: (U, k) 0/1. Returns (U,) sum of 1/ln(2+i) at hit ranks."""
+    k = hits.shape[1]
+    discounts = 1.0 / np.log(2.0 + np.arange(k))
+    return hits @ discounts
+
+
+def _recall(hits, num_true, k):
+    return hits[:, :k].sum(1) / (num_true + 1e-12)
+
+
+def _normalized_recall(hits, num_true, k):
+    return hits[:, :k].sum(1) / np.minimum(k, num_true + 1e-12)
+
+
+def _precision(hits, num_true, k):
+    return hits[:, :k].sum(1) / (k + 1e-12)
+
+
+def _f1(hits, num_true, k):
+    p = _precision(hits, num_true, k)
+    r = _recall(hits, num_true, k)
+    return 2 * p * r / (p + r + 1e-12)
+
+
+def _dcg(hits, num_true, k):
+    return _dcg_from_hits(hits[:, :k])
+
+
+def _ndcg(hits, num_true, k):
+    dcg = _dcg_from_hits(hits[:, :k])
+    # Ideal DCG: all of the first min(k, |true|) ranks hit (metrics.py:110-112).
+    n_ideal = np.minimum(k, num_true).astype(np.int64)
+    discounts = np.concatenate(
+        [[0.0], np.cumsum(1.0 / np.log(2.0 + np.arange(k)))]
+    )
+    idcg = discounts[n_ideal]
+    return dcg / (idcg + 1e-12)
+
+
+def _mrr(hits, num_true, k):
+    h = hits[:, :k]
+    recip = 1.0 / (1.0 + np.arange(k))
+    return h @ recip
+
+
+def _hit_rate(hits, num_true, k):
+    return (hits[:, :k].sum(1) > 0).astype(np.float64)
+
+
+def _map(hits, num_true, k):
+    h = hits[:, :k]
+    pos = np.cumsum(h, axis=1)
+    prec = (pos * h) / (1.0 + np.arange(k))
+    return prec.sum(1) / (pos[:, -1] + 1e-12)
+
+
+_METRIC_FNS: dict[str, Callable] = {
+    "Recall": _recall,
+    "NormalizedRecall": _normalized_recall,
+    "Precision": _precision,
+    "F1": _f1,
+    "DCG": _dcg,
+    "NDCG": _ndcg,
+    "MRR": _mrr,
+    "HitRate": _hit_rate,
+    "MAP": _map,
+}
+
+
+def _hits_matrix(
+    top_k_items: np.ndarray, true_items: Sequence[Sequence[int]]
+) -> np.ndarray:
+    """(U, k) 0/1 membership of each ranked item in the user's true set."""
+    u, k = top_k_items.shape
+    hits = np.zeros((u, k), np.float64)
+    for row, true in enumerate(true_items):
+        if len(true):
+            t = np.sort(np.asarray(true))
+            idx = np.searchsorted(t, top_k_items[row])
+            idx = np.minimum(idx, len(t) - 1)
+            hits[row] = t[idx] == top_k_items[row]
+    return hits
+
+
+def evaluate_metrics(
+    metrics: Sequence[str],
+    top_k_items: np.ndarray,
+    true_items: Sequence[Sequence[int]],
+) -> dict[str, float]:
+    """Average each metric over users with at least one test item.
+
+    Args:
+      metrics: specs like 'Recall(k=20)'.
+      top_k_items: (U, >=max_k) ranked item ids (train items pre-masked —
+        the evaluator handles masking on device).
+      true_items: per-user test item lists aligned with top_k_items rows.
+
+    Returns: {spec: value}.
+    """
+    parsed = [parse_metric(m) for m in metrics]
+    max_k = max(k for _, k in parsed)
+    if top_k_items.shape[1] < max_k:
+        raise ValueError(
+            f"top_k_items has {top_k_items.shape[1]} ranks < max k {max_k}"
+        )
+    keep = np.asarray([len(t) > 0 for t in true_items], bool)
+    top = np.asarray(top_k_items)[keep, :max_k]
+    truth = [t for t in true_items if len(t)]
+    num_true = np.asarray([len(t) for t in truth], np.float64)
+    hits = _hits_matrix(top, truth)
+    out: dict[str, float] = {}
+    for spec, (name, k) in zip(metrics, parsed):
+        out[spec] = float(np.mean(_METRIC_FNS[name](hits, num_true, k)))
+    return out
+
+
+def evaluate_sim_matrix(
+    metrics: Sequence[str],
+    sim_matrix: np.ndarray,
+    train_items: Sequence[Sequence[int]],
+    true_items: Sequence[Sequence[int]],
+) -> dict[str, float]:
+    """Reference-compatible path (metrics.py:5-36): mask train items to
+    -inf in a dense sim matrix, top-k on host, then score. Used as the
+    oracle in tests against the tiled on-device evaluator."""
+    sim = np.array(sim_matrix, np.float32, copy=True)
+    for u, items in enumerate(train_items):
+        if len(items):
+            sim[u, np.asarray(items)] = -np.inf
+    parsed = [parse_metric(m) for m in metrics]
+    max_k = max(k for _, k in parsed)
+    idx = np.argpartition(-sim, max_k)[:, :max_k]
+    part = np.take_along_axis(sim, idx, axis=1)
+    order = np.argsort(-part, axis=1)
+    top_k_items = np.take_along_axis(idx, order, axis=1)
+    return evaluate_metrics(metrics, top_k_items, true_items)

@@ -1,0 +1,113 @@
+"""CLI driver: train a collaborative-filtering model from a YAML config.
+
+The TPU-native counterpart of the reference driver (cf/main.py:19-124):
+
+    python -m heat_tpu.main --config benchmarks/Gowalla/config0.yaml
+
+Differences from the reference flow:
+* no MPI scatter of pickled datasets — in a multi-host run every host parses
+  the files and slices its own deterministic user range
+  (``shard_by_user_range``) based on ``jax.process_index()``;
+* evaluation runs the tiled on-device evaluator and the full configured
+  metric list (the reference driver hardcodes Recall(k=20) at main.py:120
+  despite the config's richer metrics list);
+* ``--synthetic`` trains on a generated planted-cluster dataset when the
+  benchmark text files are not available.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from heat_tpu.config import load_config
+from heat_tpu.data.datasets import ClickDataset, shard_by_user_range
+from heat_tpu.data.synthetic import synthetic_click_dataset
+from heat_tpu.train.engine import Engine
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--config", type=str, required=True, help="YAML config path"
+    )
+    parser.add_argument(
+        "--synthetic",
+        type=str,
+        default=None,
+        metavar="U,I",
+        help="train on a synthetic UxI planted-cluster dataset instead of files",
+    )
+    parser.add_argument(
+        "--epochs", type=int, default=None, help="override config epochs"
+    )
+    parser.add_argument("--checkpoint-dir", type=str, default=None)
+    args = parser.parse_args(argv)
+
+    cfg, ds_cfg = load_config(args.config)
+    if args.epochs is not None:
+        cfg.epochs = args.epochs
+
+    import jax
+
+    if args.synthetic:
+        num_users, num_items = (int(x) for x in args.synthetic.split(","))
+        train_data, test_data = synthetic_click_dataset(
+            num_users=num_users,
+            num_items=num_items,
+            max_his=cfg.max_his,
+            seed=cfg.seed,
+        )
+    else:
+        train_path = os.path.join(ds_cfg.data_dir, ds_cfg.train_data)
+        test_path = os.path.join(ds_cfg.data_dir, ds_cfg.test_data)
+        train_data = ClickDataset.from_file(
+            train_path, max_his=cfg.max_his, separator=ds_cfg.separator,
+            seed=cfg.seed,
+        )
+        test_data = ClickDataset.from_file(
+            test_path,
+            max_his=cfg.max_his,
+            separator=ds_cfg.separator,
+            num_items=train_data.num_items,
+            seed=cfg.seed,
+        )
+        nproc = jax.process_count()
+        if nproc > 1:
+            rank = jax.process_index()
+            train_data = shard_by_user_range(train_data, nproc, rank)
+            test_data = shard_by_user_range(test_data, nproc, rank)
+
+    engine = Engine(cfg, train_data, test_data)
+    if args.checkpoint_dir:
+        from heat_tpu.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(args.checkpoint_dir)
+        restored = ckpt.restore_latest(engine)
+        if restored is not None:
+            print(f"resumed from epoch {engine.epoch}")
+    else:
+        ckpt = None
+
+    for epoch in range(engine.epoch, cfg.epochs):
+        t0 = time.time()
+        loss = engine.train_one_epoch()
+        dt = time.time() - t0
+        print(f"epoch: {epoch}; loss: {loss:.6f}; epoch_time: {dt:.3f}s")
+        if ckpt is not None:
+            ckpt.save(engine)
+        if epoch > 0 and epoch % cfg.eval_interval == 0:
+            metrics = engine.evaluate()
+            print(
+                "[Metrics] "
+                + " - ".join(f"{k}: {v:.6f}" for k, v in metrics.items())
+            )
+
+    metrics = engine.evaluate()
+    print(json.dumps({"final_metrics": metrics}))
+
+
+if __name__ == "__main__":
+    main()

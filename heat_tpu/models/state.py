@@ -1,0 +1,92 @@
+"""Training state: embedding tables + aggregator weights as a JAX pytree.
+
+The reference splits this across torch-initialized numpy buffers aliased by
+C++ (models.py:13-16, 26-32; embedding.cpp:10-45) plus per-table gradient
+arrays zeroed each sub-epoch (embedding.cpp:41-45). Here the whole mutable
+training state is one immutable pytree threaded through a jitted/donated
+train step; the "gradient tables" exist only in the reference-parity
+``sgd_mode="accum"`` configuration.
+
+Initialization parity: user/item embeddings ~ N(0, 1e-2) (models.py:15-16),
+aggregator weights0 ~ N(0, 1e-2) (behavior_aggregators.py:15-16).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from heat_tpu.config import CFConfig, SGD_MODE_ACCUM
+
+INIT_STD = 1e-2  # reference nn.init.normal_(w, std=1e-2)
+
+
+class TrainState(struct.PyTreeNode):
+    """All mutable training state.
+
+    Attributes:
+      user_emb: (U, d) user embedding table.
+      item_emb: (I, d) item embedding table.
+      w0: (d, d) behavior-aggregator weights.
+      user_gacc / item_gacc: persistent per-row gradient accumulators,
+        present only in sgd_mode="accum" (reference grad tables,
+        embedding.cpp:14-16); None otherwise.
+      lr: current learning rate (scheduled on host per epoch,
+        engine.cpp:156-160).
+      step: global batch counter.
+    """
+
+    user_emb: jax.Array
+    item_emb: jax.Array
+    w0: jax.Array
+    user_gacc: Optional[jax.Array]
+    item_gacc: Optional[jax.Array]
+    lr: jax.Array
+    step: jax.Array
+
+
+def init_train_state(cfg: CFConfig, key: jax.Array) -> TrainState:
+    """Initialize embeddings and aggregator weights (parity with reference)."""
+    ku, ki, kw = jax.random.split(key, 3)
+    dtype = jnp.dtype(cfg.param_dtype)
+    user_emb = (
+        jax.random.normal(ku, (cfg.num_users, cfg.emb_dim), jnp.float32)
+        * INIT_STD
+    ).astype(dtype)
+    item_emb = (
+        jax.random.normal(ki, (cfg.num_items, cfg.emb_dim), jnp.float32)
+        * INIT_STD
+    ).astype(dtype)
+    w0 = (
+        jax.random.normal(kw, (cfg.emb_dim, cfg.emb_dim), jnp.float32)
+        * INIT_STD
+    ).astype(jnp.float32)
+    accum = cfg.sgd_mode == SGD_MODE_ACCUM
+    return TrainState(
+        user_emb=user_emb,
+        item_emb=item_emb,
+        w0=w0,
+        user_gacc=jnp.zeros_like(user_emb) if accum else None,
+        item_gacc=jnp.zeros_like(item_emb) if accum else None,
+        lr=jnp.asarray(cfg.l_r, jnp.float32),
+        step=jnp.asarray(0, jnp.int32),
+    )
+
+
+def zero_grad_accumulators(state: TrainState) -> TrainState:
+    """Reference zero_grad at sub-epoch boundaries (engine.cpp:344-347)."""
+    return state.replace(
+        user_gacc=(
+            jnp.zeros_like(state.user_gacc)
+            if state.user_gacc is not None
+            else None
+        ),
+        item_gacc=(
+            jnp.zeros_like(state.item_gacc)
+            if state.item_gacc is not None
+            else None
+        ),
+    )

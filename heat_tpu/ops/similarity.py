@@ -1,0 +1,59 @@
+"""Similarity scoring: batched cosine / dot between user, positive, negatives.
+
+The reference computes these per sample with Eigen row ops
+(matrix_factorization.cpp:43-95): dots u.u, p.p, u.p, then batched u.N^T and
+per-neg norms, with an epsilon floor of 1e-8 on the squared norms
+(matrix_factorization.cpp:54-56, 92-93). Here the same math is batched over
+a minibatch so XLA maps the contractions onto the MXU; gradients come from
+autodiff of this forward (equivalent to the reference's hand-derived cosine
+gradients at matrix_factorization.cpp:62-63, 136-139, which reuse the
+forward dot products — XLA's fusion achieves the same reuse).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+EPS = 1e-8  # matches the reference's machine-epsilon floor (matrix_factorization.cpp:54)
+
+
+def _safe_rnorm(sq: jnp.ndarray) -> jnp.ndarray:
+    """1/sqrt(max(sq, EPS)) — the reference's clamped norm reciprocal."""
+    return jax.lax.rsqrt(jnp.maximum(sq, EPS))
+
+
+def pair_scores(
+    u: jnp.ndarray,
+    p: jnp.ndarray,
+    n: jnp.ndarray,
+    *,
+    similarity: str = "cosine",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Score (user, positive) and (user, negatives) pairs.
+
+    Args:
+      u: (B, d) aggregated user embeddings.
+      p: (B, d) positive item embeddings.
+      n: (B, K, d) negative item embeddings.
+      similarity: "cosine" (reference behavior) or "dot".
+
+    Returns:
+      (s_up, s_un): (B,) and (B, K) similarity scores.
+    """
+    compute_dtype = jnp.promote_types(u.dtype, jnp.float32)
+    u = u.astype(compute_dtype)
+    p = p.astype(compute_dtype)
+    n = n.astype(compute_dtype)
+
+    up = jnp.einsum("bd,bd->b", u, p, preferred_element_type=compute_dtype)
+    un = jnp.einsum("bd,bkd->bk", u, n, preferred_element_type=compute_dtype)
+    if similarity == "dot":
+        return up, un
+    uu = jnp.einsum("bd,bd->b", u, u, preferred_element_type=compute_dtype)
+    pp = jnp.einsum("bd,bd->b", p, p, preferred_element_type=compute_dtype)
+    nn = jnp.einsum("bkd,bkd->bk", n, n, preferred_element_type=compute_dtype)
+    r_u = _safe_rnorm(uu)
+    s_up = up * r_u * _safe_rnorm(pp)
+    s_un = un * r_u[:, None] * _safe_rnorm(nn)
+    return s_up, s_un

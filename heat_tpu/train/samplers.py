@@ -1,0 +1,140 @@
+"""Negative samplers, on-device.
+
+The reference implements two strategies behind a selector
+(engine.cpp:194-201):
+
+* ``UniformRandomNegativeSampler`` — uniform item ids; the ``ignore_pos``
+  variant redraws a slot that hits the positive
+  (uniform_random_negative_sampler.cpp:10-36; the reference keeps the
+  slot's previous stale value instead of redrawing — distributionally this
+  is a resample, which is what the vectorized version does);
+* ``RandomTileNegativeSampler`` — HEAT's cache-tiling sampler
+  (random_tile_negative_sampler.cpp:11-57): a tile of ``tile_size`` random
+  item ids refreshed every ``refresh_interval`` samples; draws index into
+  the tile. On CPU this keeps negative reads cache-resident; on TPU the
+  same strategy keeps the per-step negative gather working-set small (and
+  lets the Pallas fused path hold the tile's rows in VMEM).
+
+RNG: the reference uses mt19937_64 seeded ad hoc (engine.cpp:192); here a
+``jax.random`` key tree gives deterministic, reproducible streams (matching
+distributions, not bit-streams — SURVEY.md section 7 "RNG parity").
+
+State is an explicit pytree (`SamplerState`) threaded through the epoch scan
+so the tile and iteration counter live on device.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from heat_tpu.config import CFConfig, NEG_SAMPLER_TILE
+
+
+class SamplerState(struct.PyTreeNode):
+    """Device-resident sampler state.
+
+    tile: (tile_size,) int32 current negative tile (tile sampler only;
+      kept as a size-1 dummy for the uniform sampler so the pytree shape
+      is static across modes).
+    iterations: int32 count of *samples* drawn so far (the reference
+      counts per ``sampling()`` call, random_tile_negative_sampler.cpp:44).
+    """
+
+    tile: jax.Array
+    iterations: jax.Array
+
+
+def init_sampler_state(cfg: CFConfig, key: jax.Array) -> SamplerState:
+    if cfg.neg_sampler == NEG_SAMPLER_TILE:
+        tile = jax.random.randint(
+            key, (cfg.tile_size,), 0, cfg.num_items, dtype=jnp.int32
+        )
+    else:
+        tile = jnp.zeros((1,), jnp.int32)
+    return SamplerState(tile=tile, iterations=jnp.asarray(0, jnp.int32))
+
+
+def _uniform_negatives(
+    key: jax.Array,
+    batch: int,
+    num_negs: int,
+    num_items: int,
+    pos_ids: jnp.ndarray,
+    ignore_pos: bool,
+) -> jnp.ndarray:
+    k1, k2 = jax.random.split(key)
+    negs = jax.random.randint(
+        k1, (batch, num_negs), 0, num_items, dtype=jnp.int32
+    )
+    if ignore_pos:
+        # Redraw slots that hit the positive; a double collision has
+        # probability (1/num_items)^2 and is accepted (the reference's
+        # keep-stale-value behavior is equally approximate).
+        alt = jax.random.randint(
+            k2, (batch, num_negs), 0, num_items, dtype=jnp.int32
+        )
+        negs = jnp.where(negs == pos_ids[:, None], alt, negs)
+    return negs
+
+
+def _tile_negatives(
+    key: jax.Array,
+    state: SamplerState,
+    batch: int,
+    num_negs: int,
+    num_items: int,
+    tile_size: int,
+    refresh_interval: int,
+) -> tuple[jnp.ndarray, SamplerState]:
+    """Tile sampler for one batch of ``batch`` samples.
+
+    The reference refreshes when iterations % refresh_interval == 0, once
+    per sample (random_tile_negative_sampler.cpp:33-45). A batch advances
+    the counter by ``batch`` samples; the tile is refreshed when the batch
+    crosses a refresh boundary (at most one refresh per batch — exact when
+    batch <= refresh_interval, which configs satisfy: refresh 8192 >= batch).
+    """
+    k_refresh, k_draw = jax.random.split(key)
+    it = state.iterations
+    # Refresh iff some sample j in [it, it+batch) satisfies
+    # j % refresh_interval == 0 (the reference's per-sample condition).
+    phase = it % refresh_interval
+    needs_refresh = jnp.logical_or(
+        phase == 0, phase + batch > refresh_interval
+    )
+    fresh = jax.random.randint(
+        k_refresh, (tile_size,), 0, num_items, dtype=jnp.int32
+    )
+    tile = jnp.where(needs_refresh, fresh, state.tile)
+    idx = jax.random.randint(
+        k_draw, (batch, num_negs), 0, tile_size, dtype=jnp.int32
+    )
+    negs = tile[idx]
+    new_state = SamplerState(tile=tile, iterations=it + batch)
+    return negs, new_state
+
+
+def sample_negatives(
+    key: jax.Array,
+    state: SamplerState,
+    pos_ids: jnp.ndarray,
+    cfg: CFConfig,
+) -> tuple[jnp.ndarray, SamplerState]:
+    """Draw (B, num_negs) negative item ids for one batch."""
+    batch = pos_ids.shape[0]
+    if cfg.neg_sampler == NEG_SAMPLER_TILE:
+        return _tile_negatives(
+            key,
+            state,
+            batch,
+            cfg.num_negs,
+            cfg.num_items,
+            cfg.tile_size,
+            cfg.refresh_interval,
+        )
+    negs = _uniform_negatives(
+        key, batch, cfg.num_negs, cfg.num_items, pos_ids, cfg.ignore_pos
+    )
+    return negs, state.replace(iterations=state.iterations + batch)

@@ -1,0 +1,100 @@
+"""Duplicate-safe sparse row updates for embedding tables.
+
+The reference applies per-sample SGD row updates sequentially, so duplicate
+ids within a stream are handled by read-modify-write ordering
+(matrix_factorization.cpp:127-150, 166-174). A vectorized batch must instead
+combine gradients per *unique* row before clipping and applying the update
+(SURVEY.md section 7 "Hard parts": duplicate ids in a batch).
+
+A full-table scatter-add would cost O(num_rows) per step — unacceptable for
+the 100M-row synthetic config — so gradients are deduplicated batch-locally
+in O(M log M): sort ids, segment-sum runs of equal ids, and scatter the
+combined update through one representative index per run. Out-of-range
+representative slots (padding) are dropped by JAX scatter semantics
+(mode="drop"), making the whole path shape-static and jit-friendly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def segment_sum_by_id(
+    ids: jnp.ndarray, values: jnp.ndarray, num_rows: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Combine rows of ``values`` that share an id.
+
+    Args:
+      ids: (M,) int32 row ids; ids == num_rows mark padding to drop.
+      values: (M, d) per-occurrence values.
+      num_rows: table size (used as the drop sentinel).
+
+    Returns:
+      (rep_ids, summed): both length M. ``summed[s]`` is the total value for
+      unique id ``rep_ids[s]``; unused trailing segments have rep_ids ==
+      num_rows (dropped on scatter) and summed == 0.
+    """
+    m = ids.shape[0]
+    order = jnp.argsort(ids)
+    sid = ids[order]
+    sval = values[order]
+    starts = jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), sid[1:] != sid[:-1]]
+    )
+    seg = jnp.cumsum(starts) - 1  # (M,) segment index per occurrence
+    summed = jax.ops.segment_sum(sval, seg, num_segments=m)
+    rep_ids = jnp.full((m,), num_rows, dtype=ids.dtype).at[seg].set(sid)
+    return rep_ids, summed
+
+
+def apply_row_updates(
+    table: jnp.ndarray,
+    ids: jnp.ndarray,
+    grads: jnp.ndarray,
+    *,
+    lr: jnp.ndarray,
+    clip_val: float,
+    gacc: Optional[jnp.ndarray] = None,
+    decay: float = 1.0,
+    l2: float = 0.0,
+) -> tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """SGD row update with elementwise clip and optional accumulation.
+
+    Batch mode (gacc is None):
+        g = clip(sum_per_unique(grads) [+ l2 * row])
+        row -= lr * g
+    Accum mode (reference semantics, sgd.cpp:14-26 on persistent grad rows):
+        acc_new = clip(decay * acc + sum_per_unique(grads))
+        row -= lr * acc_new;  acc stored clipped (optimizer.cpp:17-22 writes
+        the clipped value back into the gradient row).
+    ``decay`` is gamma for the user table — the reference aggregator backward
+    rescales the whole accumulated user-grad row by gamma on every visit
+    (behavior_aggregators.cpp:148-152); 1.0 for item tables.
+
+    ids == table.shape[0] are padding and are dropped.
+    """
+    num_rows = table.shape[0]
+    rep_ids, summed = segment_sum_by_id(ids, grads, num_rows)
+    if l2:
+        safe = jnp.minimum(rep_ids, num_rows - 1)
+        rows = table[safe]
+        valid = (rep_ids < num_rows).astype(table.dtype)[:, None]
+        summed = summed + l2 * rows * valid
+    if gacc is None:
+        g = jnp.clip(summed, -clip_val, clip_val)
+        new_table = table.at[rep_ids].add(
+            (-lr * g).astype(table.dtype), mode="drop"
+        )
+        return new_table, None
+    safe = jnp.minimum(rep_ids, num_rows - 1)
+    valid = (rep_ids < num_rows).astype(table.dtype)[:, None]
+    acc_rows = gacc[safe] * valid
+    acc_new = jnp.clip(decay * acc_rows + summed, -clip_val, clip_val)
+    new_table = table.at[rep_ids].add(
+        (-lr * acc_new).astype(table.dtype), mode="drop"
+    )
+    new_gacc = gacc.at[rep_ids].set(acc_new.astype(gacc.dtype), mode="drop")
+    return new_table, new_gacc

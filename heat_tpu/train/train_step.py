@@ -1,0 +1,210 @@
+"""The fused training step: gather -> score -> loss -> grad -> scatter.
+
+This replaces the reference's per-sample C++ kernel
+(``MatrixFactorization::forward_backward``, matrix_factorization.cpp:15-181)
+with one jitted, batched step:
+
+1. gather user/positive/negative/history embedding rows (the reference's
+   read_row memcpys, matrix_factorization.cpp:31-32, 69-80;
+   behavior_aggregators.cpp:96-101);
+2. behavior aggregation (mean-pool + weights0 + gamma blend) — history
+   embeddings pass through stop_gradient because the reference backward
+   does not propagate into item embeddings via the mean
+   (behavior_aggregators.cpp:129-153);
+3. cosine (or dot) similarity + contrastive loss, with gradients by
+   autodiff — mathematically identical to the reference's hand-derived
+   cosine gradients that reuse forward dot products
+   (matrix_factorization.cpp:62-63, 136-143);
+4. duplicate-safe segment-sum scatter updates with elementwise clipping
+   (sgd.cpp:14-26, optimizer.cpp:17-22), including the reference's write-back
+   of the *aggregated* user embedding into the user table
+   (matrix_factorization.cpp:166-171: sparse_step updates the buffer that
+   holds u_agg, then write_row stores it);
+5. aggregator weights0 update: the reference applies
+   ``w0 -= lr * mean(grad over 32 samples)`` every 32 samples
+   (behavior_aggregators.cpp:141-146); a batch of B collapses B/32 such
+   updates into one: ``w0 -= lr * sum_batch(grad_w0) / 32``.
+
+Padded batch entries carry weight 0: their losses and gradients vanish and
+their user rows are redirected to an out-of-bounds drop slot so the
+aggregated write-back cannot touch real rows.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from heat_tpu.config import CFConfig
+from heat_tpu.models.aggregator import aggregate_history, history_mean
+from heat_tpu.models.state import TrainState
+from heat_tpu.ops.losses import sample_losses
+from heat_tpu.ops.similarity import pair_scores
+from heat_tpu.train.samplers import SamplerState, sample_negatives
+from heat_tpu.train.scatter import apply_row_updates
+
+
+class Batch(NamedTuple):
+    users: jnp.ndarray   # (B,) int32
+    pos: jnp.ndarray     # (B,) int32
+    weight: jnp.ndarray  # (B,) f32 — 1 for real samples, 0 for padding
+
+
+def train_step(
+    state: TrainState,
+    sampler_state: SamplerState,
+    key: jax.Array,
+    batch: Batch,
+    his_items: jnp.ndarray,
+    his_masks: jnp.ndarray,
+    cfg: CFConfig,
+    neg_candidates: Optional[jnp.ndarray] = None,
+) -> tuple[TrainState, SamplerState, jnp.ndarray]:
+    """One fused minibatch step. Returns (state', sampler_state', loss_sum).
+
+    neg_candidates: optional (C,) item-id pool to constrain negatives to
+      (the sub-epoch partition-complement sampling of engine.cpp:222-237);
+      None draws from the full item space.
+    """
+    users, pos, weight = batch
+    negs, sampler_state = sample_negatives(key, sampler_state, pos, cfg)
+    if neg_candidates is not None:
+        # Constrained sampling: reinterpret draws as indices into the pool.
+        negs = neg_candidates[negs % neg_candidates.shape[0]]
+
+    user_emb, item_emb, w0 = state.user_emb, state.item_emb, state.w0
+    compute = jnp.dtype(cfg.compute_dtype)
+
+    u_rows = user_emb[users].astype(compute)
+    p_rows = item_emb[pos].astype(compute)
+    n_rows = item_emb[negs].astype(compute)
+    his_ids = his_items[users]                       # (B, H)
+    his_embs = jax.lax.stop_gradient(item_emb[his_ids]).astype(compute)
+    means = history_mean(his_embs, his_masks[users])  # (B, d)
+
+    def batch_loss(u_rows, p_rows, n_rows, w0):
+        u_agg = aggregate_history(u_rows, means, w0.astype(compute), cfg.gamma)
+        s_up, s_un = pair_scores(
+            u_agg, p_rows, n_rows, similarity=cfg.similarity
+        )
+        losses = sample_losses(s_up, s_un, cfg)       # (B,)
+        return jnp.sum(losses * weight), u_agg
+
+    (loss_sum, u_agg), grads = jax.value_and_grad(
+        batch_loss, argnums=(0, 1, 2, 3), has_aux=True
+    )(u_rows, p_rows, n_rows, w0)
+    g_u, g_p, g_n, g_w0 = grads
+
+    if state.user_gacc is not None:
+        # Reference fidelity (accum mode): the aggregator backward reuses the
+        # persistent user-grad row, so its weights0 gradient includes the
+        # stale accumulated grad in addition to the current sample's
+        # (behavior_aggregators.cpp:131-139 operate on the accumulated
+        # buffer). Autodiff covers the current-sample term; add the stale one.
+        prev_acc = state.user_gacc[users].astype(jnp.float32)
+        g_w0 = g_w0 + (1.0 - cfg.gamma) * jnp.einsum(
+            "bi,bj->ij", means.astype(jnp.float32) * weight[:, None], prev_acc
+        )
+
+    num_users = user_emb.shape[0]
+    num_items = item_emb.shape[0]
+    drop_user = jnp.asarray(num_users, users.dtype)
+    drop_item = jnp.asarray(num_items, pos.dtype)
+    valid = weight > 0
+    users_w = jnp.where(valid, users, drop_user)
+    pos_w = jnp.where(valid, pos, drop_item)
+    negs_w = jnp.where(valid[:, None], negs, drop_item)
+
+    # User table: the aggregated embedding replaces the row, then SGD.
+    user_emb = user_emb.at[users_w].set(
+        u_agg.astype(user_emb.dtype), mode="drop"
+    )
+    user_emb, user_gacc = apply_row_updates(
+        user_emb,
+        users_w,
+        g_u.astype(jnp.float32),
+        lr=state.lr,
+        clip_val=cfg.clip_val,
+        gacc=state.user_gacc,
+        decay=cfg.gamma,  # see scatter.apply_row_updates docstring
+        l2=cfg.l2 if cfg.l2_enabled else 0.0,
+    )
+
+    # Item table: positives and negatives in one deduplicated scatter.
+    item_ids = jnp.concatenate([pos_w, negs_w.reshape(-1)])
+    item_grads = jnp.concatenate(
+        [g_p.astype(jnp.float32), g_n.reshape(-1, g_n.shape[-1]).astype(jnp.float32)]
+    )
+    item_emb, item_gacc = apply_row_updates(
+        item_emb,
+        item_ids,
+        item_grads,
+        lr=state.lr,
+        clip_val=cfg.clip_val,
+        gacc=state.item_gacc,
+        decay=1.0,
+        l2=cfg.l2 if cfg.l2_enabled else 0.0,
+    )
+
+    # Aggregator weights: B/aggr_minibatch reference updates collapsed.
+    w0 = w0 - state.lr * g_w0.astype(w0.dtype) / cfg.aggr_minibatch
+
+    state = state.replace(
+        user_emb=user_emb,
+        item_emb=item_emb,
+        w0=w0,
+        user_gacc=user_gacc,
+        item_gacc=item_gacc,
+        step=state.step + 1,
+    )
+    return state, sampler_state, loss_sum
+
+
+def make_epoch_fn(cfg: CFConfig):
+    """Build a jitted epoch (or sub-epoch) function scanning over batches.
+
+    Returns f(state, sampler_state, key, users (nb,B), pos (nb,B),
+              weight (nb,B), his_items, his_masks[, neg_candidates])
+        -> (state, sampler_state, loss_sum)
+    State and sampler state are donated, so an epoch is one device program
+    with no host round-trips (the reference's epoch loop crosses the
+    Python/C++ boundary once per epoch, engine.cpp:67; we match that).
+    """
+
+    def epoch_fn(
+        state,
+        sampler_state,
+        key,
+        users,
+        pos,
+        weight,
+        his_items,
+        his_masks,
+        neg_candidates=None,
+    ):
+        num_batches = users.shape[0]
+        keys = jax.random.split(key, num_batches)
+
+        def body(carry, xs):
+            state, sampler_state = carry
+            k, u, p, w = xs
+            state, sampler_state, loss = train_step(
+                state,
+                sampler_state,
+                k,
+                Batch(u, p, w),
+                his_items,
+                his_masks,
+                cfg,
+                neg_candidates=neg_candidates,
+            )
+            return (state, sampler_state), loss
+
+        (state, sampler_state), losses = jax.lax.scan(
+            body, (state, sampler_state), (keys, users, pos, weight)
+        )
+        return state, sampler_state, jnp.sum(losses)
+
+    return jax.jit(epoch_fn, donate_argnums=(0, 1))

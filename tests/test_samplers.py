@@ -1,0 +1,68 @@
+"""Negative-sampler tests: ranges, pos-avoidance, tile refresh cadence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from heat_tpu.config import CFConfig, NEG_SAMPLER_TILE
+from heat_tpu.train.samplers import init_sampler_state, sample_negatives
+
+
+def test_uniform_range_and_pos_avoidance():
+    cfg = CFConfig(num_items=50, num_negs=8, ignore_pos=True)
+    state = init_sampler_state(cfg, jax.random.key(0))
+    pos = jnp.asarray(np.full(256, 7), jnp.int32)
+    negs, state = sample_negatives(jax.random.key(1), state, pos, cfg)
+    n = np.asarray(negs)
+    assert n.shape == (256, 8)
+    assert n.min() >= 0 and n.max() < 50
+    # A first-draw collision with pos is redrawn; double collision odds are
+    # (1/50)^2 per slot — none expected in 2048 draws with this key.
+    assert (n == 7).mean() < 0.01
+    assert int(state.iterations) == 256
+
+
+def test_uniform_covers_item_space():
+    cfg = CFConfig(num_items=20, num_negs=4, ignore_pos=False)
+    state = init_sampler_state(cfg, jax.random.key(0))
+    pos = jnp.zeros(500, jnp.int32)
+    negs, _ = sample_negatives(jax.random.key(2), state, pos, cfg)
+    seen = np.unique(np.asarray(negs))
+    assert len(seen) == 20  # all items reachable
+
+
+def test_tile_sampler_draws_within_tile():
+    cfg = CFConfig(
+        num_items=1000,
+        num_negs=4,
+        neg_sampler=NEG_SAMPLER_TILE,
+        tile_size=16,
+        refresh_interval=10_000,
+    )
+    state = init_sampler_state(cfg, jax.random.key(3))
+    pos = jnp.zeros(64, jnp.int32)
+    negs, state2 = sample_negatives(jax.random.key(4), state, pos, cfg)
+    tile = set(np.asarray(state2.tile).tolist())
+    assert set(np.asarray(negs).ravel().tolist()) <= tile
+    assert len(tile) <= 16
+
+
+def test_tile_refresh_on_interval_crossing():
+    cfg = CFConfig(
+        num_items=100_000,
+        num_negs=2,
+        neg_sampler=NEG_SAMPLER_TILE,
+        tile_size=32,
+        refresh_interval=128,
+    )
+    state = init_sampler_state(cfg, jax.random.key(5))
+    pos = jnp.zeros(64, jnp.int32)
+    # batch 1 covers samples [0, 64): sample 0 triggers a refresh.
+    _, s1 = sample_negatives(jax.random.key(6), state, pos, cfg)
+    t1 = np.asarray(s1.tile)
+    # batch 2 covers [64, 128): no multiple of 128 inside -> unchanged.
+    _, s2 = sample_negatives(jax.random.key(7), s1, pos, cfg)
+    assert np.array_equal(np.asarray(s2.tile), t1)
+    # batch 3 covers [128, 192): sample 128 triggers a refresh.
+    _, s3 = sample_negatives(jax.random.key(8), s2, pos, cfg)
+    assert not np.array_equal(np.asarray(s3.tile), t1)
