@@ -76,6 +76,7 @@ class Engine:
         train_data: ClickDataset,
         test_data: Optional[ClickDataset] = None,
         seed: Optional[int] = None,
+        mesh=None,
     ):
         cfg.num_users = train_data.num_users
         cfg.num_items = train_data.num_items
@@ -84,6 +85,7 @@ class Engine:
         self.train_data = train_data
         self.test_data = test_data
         self.epoch = 0
+        self.mesh = mesh
 
         seed = cfg.seed if seed is None else seed
         root = jax.random.key(seed)
@@ -94,6 +96,23 @@ class Engine:
         self.pairs = jnp.asarray(train_data.pairs, jnp.int32)
         self.his_items = jnp.asarray(train_data.his_items, jnp.int32)
         self.his_masks = jnp.asarray(train_data.masks, jnp.int32)
+
+        if mesh is not None:
+            from heat_tpu.parallel.mesh import (
+                batch_sharding,
+                shard_data_arrays,
+                shard_train_state,
+            )
+
+            self.state = shard_train_state(self.state, mesh)
+            self.his_items, self.his_masks = shard_data_arrays(
+                mesh, self.his_items, self.his_masks
+            )
+            self._batch_sharding = batch_sharding(mesh)
+            self._data_axis_size = mesh.shape["data"]
+        else:
+            self._batch_sharding = None
+            self._data_axis_size = 1
 
         self._epoch_fn = make_epoch_fn(cfg)
         self._np_rng = np.random.default_rng(seed ^ 0x5EED)
@@ -110,10 +129,18 @@ class Engine:
         if n == 0:
             return 0.0
         batch = min(cfg.batch_size, max(1, n))
+        # The batch dim is sharded over the mesh "data" axis; keep it
+        # divisible (padding rows carry weight 0 and are inert).
+        d_ax = self._data_axis_size
+        batch = -(-batch // d_ax) * d_ax
         num_batches = -(-n // batch)
         users, pos, weight = _permute_batches(
             self._next_key(), pairs, num_batches, batch
         )
+        if self._batch_sharding is not None:
+            users = jax.device_put(users, self._batch_sharding)
+            pos = jax.device_put(pos, self._batch_sharding)
+            weight = jax.device_put(weight, self._batch_sharding)
         fn = self._epoch_fn
         args = [
             self.state,

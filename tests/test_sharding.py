@@ -1,0 +1,101 @@
+"""Sharded execution equivalence: the same epoch on an 8-device mesh must
+match single-device results (XLA collectives are exact, SURVEY.md section 7:
+determinism tests replace the reference's hogwild race tolerance)."""
+
+import jax
+import numpy as np
+import pytest
+
+from heat_tpu.config import CFConfig
+from heat_tpu.data.synthetic import synthetic_click_dataset
+from heat_tpu.parallel.mesh import default_mesh_shape, make_mesh
+from heat_tpu.train.engine import Engine
+
+
+def _cfg():
+    return CFConfig(
+        emb_dim=16,
+        num_negs=4,
+        max_his=8,
+        l_r=0.05,
+        batch_size=128,
+        milestones=[10],
+        seed=3,
+    )
+
+
+@pytest.fixture(scope="module")
+def data():
+    return synthetic_click_dataset(
+        num_users=128,
+        num_items=256,
+        clicks_per_user=20,
+        max_his=8,
+        seed=9,
+    )
+
+
+def test_mesh_shapes():
+    assert default_mesh_shape(8) == (2, 4)
+    assert default_mesh_shape(4) == (1, 4)
+    assert default_mesh_shape(2) == (1, 2)
+    assert default_mesh_shape(1) == (1, 1)
+
+
+def test_sharded_step_matches_single_device(data):
+    """One fused step (batch >= all pairs) must match the unsharded result
+    tightly; across many sequential steps f32 reduction-order noise
+    amplifies chaotically, so multi-epoch runs are compared qualitatively
+    in test_sharded_multi_epoch_training below."""
+    train, test = data
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    cfg = _cfg()
+    cfg.batch_size = 1 << 12  # > train_size -> a single batched step
+
+    e_single = Engine(cfg, train, test)
+    loss_single = e_single.train_one_epoch()
+
+    mesh = make_mesh(2, 4, jax.devices()[:8])
+    cfg2 = _cfg()
+    cfg2.batch_size = 1 << 12
+    e_sharded = Engine(cfg2, train, test, mesh=mesh)
+    loss_sharded = e_sharded.train_one_epoch()
+
+    np.testing.assert_allclose(loss_sharded, loss_single, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(e_sharded.state.user_emb),
+        np.asarray(e_single.state.user_emb),
+        rtol=1e-4,
+        atol=1e-6,
+    )
+    # Item rows receive up to B*(1+K) scatter contributions whose reduction
+    # order differs under sharding; tolerance reflects f32 noise on ~1e-2
+    # magnitudes, not a semantic difference.
+    np.testing.assert_allclose(
+        np.asarray(e_sharded.state.item_emb),
+        np.asarray(e_single.state.item_emb),
+        rtol=1e-2,
+        atol=2e-6,
+    )
+    # The sharded run kept its layout.
+    assert "data" in str(e_sharded.state.user_emb.sharding)
+
+
+def test_sharded_multi_epoch_training(data):
+    train, test = data
+    mesh = make_mesh(2, 4, jax.devices()[:8])
+    e_single = Engine(_cfg(), train, test)
+    e_sharded = Engine(_cfg(), train, test, mesh=mesh)
+    ls = [e_single.train_one_epoch() for _ in range(3)]
+    lsh = [e_sharded.train_one_epoch() for _ in range(3)]
+    assert lsh[-1] < lsh[0]
+    np.testing.assert_allclose(lsh, ls, rtol=5e-2)
+
+
+def test_sharded_evaluate(data):
+    train, test = data
+    mesh = make_mesh(4, 2, jax.devices()[:8])
+    eng = Engine(_cfg(), train, test, mesh=mesh)
+    eng.train_one_epoch()
+    m = eng.evaluate()
+    assert 0.0 <= m["Recall(k=20)"] <= 1.0
