@@ -71,6 +71,14 @@ class CFConfig:
     # --- behavior aggregator --------------------------------------------
     gamma: float = 0.4          # user/history blend (behavior_aggregators.cpp:37,122)
     aggr_minibatch: int = 32    # weights0 update cadence (behavior_aggregators.cpp:32,141-146)
+    # History-mean freshness. "step" recomputes each user's history mean
+    # from the live item table every sample — the reference's semantics
+    # (behavior_aggregators.cpp:96-105) — at the cost of H row reads per
+    # sample (the dominant HBM traffic; each user is revisited ~epoch/U
+    # times). "subepoch" precomputes a (U, d) means table once per
+    # (sub-)epoch — a staleness-for-bandwidth trade in the same spirit as
+    # HEAT's tile sampler, validated for accuracy parity in the tests.
+    his_refresh: str = "step"   # "step" | "subepoch"
 
     # --- optimizer -------------------------------------------------------
     l_r: float = 1.0e-3
@@ -108,6 +116,8 @@ class CFConfig:
             "SigmoidPairwiseLoss",
         ):
             raise ValueError(f"unknown loss {self.loss!r}")
+        if self.his_refresh not in ("step", "subepoch"):
+            raise ValueError(f"unknown his_refresh {self.his_refresh!r}")
         self.milestones = list(self.milestones)
         self.metrics = list(self.metrics)
 
@@ -139,6 +149,7 @@ _MODEL_KEY_MAP = {
     "num_subepochs": "num_subepochs",
     "num_subepoches": "num_subepochs",  # reference spelling (cf_config.py:8)
     "sgd_mode": "sgd_mode",
+    "his_refresh": "his_refresh",
     "gamma": "gamma",
     "temperature": "temperature",
     "param_dtype": "param_dtype",

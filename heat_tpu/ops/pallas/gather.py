@@ -1,21 +1,25 @@
-"""Pallas embedding-row gather kernels.
+"""Pallas embedding-row gather kernels (experimental; XLA gather wins).
 
-XLA's generic gather on (rows, 64) f32 embedding tables runs far below HBM
-bandwidth on v5e (measured ~6% of peak at AmazonBooks shapes) — it is the
-single largest cost in the train step, mirroring the reference's finding
-that embedding reads are 39.3% of epoch time (SURVEY.md section 6). These
-kernels replace it with explicit, deeply-pipelined row DMAs:
+Explicit per-row DMA gathers with a rolling in-flight window (the TPU
+semaphore space holds only ~490 semaphores, so _WINDOW slots are recycled):
 
-* :func:`gather_rows` — out[j] = table[ids[j]]: one async DMA per row,
-  issued in flight-width batches so the DMA engine stays saturated.
+* :func:`gather_rows` — out[j] = table[ids[j]];
 * :func:`history_mean_gather` — the behavior-aggregator history mean
-  (behavior_aggregators.cpp:96-105) fused with its gather: streams each
-  user's history rows into VMEM and reduces them to one (d,) mean without
-  materializing the (B, H, d) tensor in HBM.
+  (behavior_aggregators.cpp:96-105) fused with its gather.
 
-Ids are read from SMEM (scalar memory) so they can drive DMA source
-addresses. Rows are independent, so the grid is trivially parallel; each
-program handles a tile of rows/users.
+Measured verdict on v5e (scripts/profile_gather.py, 819k rows, d=128):
+XLA's native gather reaches ~146 GB/s (~2x off realistic speed-of-light for
+random 512 B reads); this per-row-DMA kernel is ~10x SLOWER because the
+scalar DMA-issue loop costs ~35 ns/row and serializes. The production
+gather path therefore stays on XLA; the framework attacks embedding-read
+cost algorithmically instead (per-epoch history-mean caching — see
+CFConfig.his_refresh and engine.compute_user_means). These kernels are
+kept as verified-correct references for future Mosaic work (e.g. a
+vectorized gather primitive) and for the eval top-k fusion experiments.
+
+Constraints: Mosaic requires row slices aligned to the 128-lane tiling, so
+``table.shape[1] % 128 == 0``. Ids are read from SMEM (scalar memory) so
+they can drive DMA addresses.
 """
 
 from __future__ import annotations
@@ -27,22 +31,49 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Rows gathered per kernel program. Each row DMA is started before any is
-# awaited, so this is also the DMA pipeline depth.
-_GATHER_TILE = 256
+# Rows gathered per kernel program.
+_GATHER_TILE = 1024
+# In-flight DMA window == semaphore slots recycled (sflag capacity ~490).
+_WINDOW = 256
 # Users per program in the fused history-mean kernel.
 _HIS_TILE = 8
 
 
+def _supported(table: jnp.ndarray) -> bool:
+    return table.shape[1] % 128 == 0 and table.dtype == jnp.float32
+
+
+def _rolling_dma_loop(total: int, make_copy) -> None:
+    """Issue ``total`` DMAs keeping at most _WINDOW in flight.
+
+    make_copy(k, slot) must return the pltpu async-copy descriptor for the
+    k-th transfer using semaphore ``slot``.
+    """
+
+    def body(k, _):
+        @pl.when(k >= _WINDOW)
+        def _():
+            make_copy(k - _WINDOW, (k - _WINDOW) % _WINDOW).wait()
+
+        make_copy(k, k % _WINDOW).start()
+        return 0
+
+    jax.lax.fori_loop(0, total, body, 0)
+
+    def tail(k, _):
+        make_copy(k, k % _WINDOW).wait()
+        return 0
+
+    jax.lax.fori_loop(max(0, total - _WINDOW), total, tail, 0)
+
+
 def _gather_rows_kernel(ids_ref, table_ref, out_ref, sems):
-    for j in range(_GATHER_TILE):
-        pltpu.make_async_copy(
-            table_ref.at[ids_ref[j]], out_ref.at[j], sems.at[j]
-        ).start()
-    for j in range(_GATHER_TILE):
-        pltpu.make_async_copy(
-            table_ref.at[ids_ref[j]], out_ref.at[j], sems.at[j]
-        ).wait()
+    def make_copy(k, slot):
+        return pltpu.make_async_copy(
+            table_ref.at[ids_ref[k]], out_ref.at[k], sems.at[slot]
+        )
+
+    _rolling_dma_loop(_GATHER_TILE, make_copy)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -51,16 +82,18 @@ def gather_rows(
 ) -> jnp.ndarray:
     """out[j] = table[ids[j]] via pipelined row DMAs.
 
-    Args:
-      table: (N, d). ids: (M,) int32, M padded to a multiple of 256 by the
-      caller-visible wrapper (extra rows gather row 0 and are sliced off).
+    table: (N, d) with d % 128 == 0. ids: (M,) int32 (padded internally to
+    a multiple of the tile; extra rows gather row 0 and are sliced off).
     """
+    if not _supported(table):
+        raise ValueError(
+            f"gather_rows requires d % 128 == 0 f32 table, got "
+            f"{table.shape} {table.dtype}"
+        )
     m = ids.shape[0]
     m_pad = -(-m // _GATHER_TILE) * _GATHER_TILE
     if m_pad != m:
-        ids = jnp.concatenate(
-            [ids, jnp.zeros((m_pad - m,), ids.dtype)]
-        )
+        ids = jnp.concatenate([ids, jnp.zeros((m_pad - m,), ids.dtype)])
     out = pl.pallas_call(
         _gather_rows_kernel,
         grid=(m_pad // _GATHER_TILE,),
@@ -76,7 +109,7 @@ def gather_rows(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((m_pad, table.shape[1]), table.dtype),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((_GATHER_TILE,))],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((_WINDOW,))],
         interpret=interpret,
     )(ids, table)
     return out[:m]
@@ -86,27 +119,20 @@ def _history_mean_kernel(
     ids_ref, mask_ref, table_ref, out_ref, scratch, sems, *, max_his: int
 ):
     u_t = _HIS_TILE
-    for u in range(u_t):
-        for h in range(max_his):
-            pltpu.make_async_copy(
-                table_ref.at[ids_ref[u, h]],
-                scratch.at[u, h],
-                sems.at[u, h],
-            ).start()
-    for u in range(u_t):
-        for h in range(max_his):
-            pltpu.make_async_copy(
-                table_ref.at[ids_ref[u, h]],
-                scratch.at[u, h],
-                sems.at[u, h],
-            ).wait()
+
+    def make_copy(k, slot):
+        u, h = k // max_his, k % max_his
+        return pltpu.make_async_copy(
+            table_ref.at[ids_ref[u, h]], scratch.at[u, h], sems.at[slot]
+        )
+
+    _rolling_dma_loop(u_t * max_his, make_copy)
+
     rows = scratch[...]  # (u_t, H, d)
-    mask = jnp.asarray([[mask_ref[u]] for u in range(u_t)])  # (u_t, 1)
+    mask = jnp.asarray([[mask_ref[u, 0]] for u in range(u_t)])  # (u_t, 1)
     pos = jax.lax.broadcasted_iota(jnp.int32, (u_t, max_his), 1)
-    valid = (pos < mask).astype(rows.dtype)
-    total = jnp.einsum(
-        "uhd,uh->ud", rows, valid, preferred_element_type=jnp.float32
-    )
+    valid = (pos < mask).astype(rows.dtype)  # (u_t, H)
+    total = jnp.sum(rows * valid[:, :, None], axis=1)  # VPU reduce
     denom = jnp.maximum(mask.astype(rows.dtype), 1.0)
     out_ref[...] = total / denom
 
@@ -121,14 +147,15 @@ def history_mean_gather(
 ) -> jnp.ndarray:
     """Masked mean of table[his_ids[b]] rows, fused with the gather.
 
-    Args:
-      table: (N, d) item embeddings.
-      his_ids: (B, H) int32; rows beyond his_mask[b] are ignored.
-      his_mask: (B,) int32 valid history lengths.
-
-    Returns: (B, d) means (zero where mask == 0), matching
+    table: (N, d), d % 128 == 0. his_ids: (B, H) int32. his_mask: (B,).
+    Returns (B, d) f32 means (zero where mask == 0), matching
     models.aggregator.history_mean.
     """
+    if not _supported(table):
+        raise ValueError(
+            f"history_mean_gather requires d % 128 == 0 f32 table, got "
+            f"{table.shape} {table.dtype}"
+        )
     b, h = his_ids.shape
     d = table.shape[1]
     b_pad = -(-b // _HIS_TILE) * _HIS_TILE
@@ -140,6 +167,7 @@ def history_mean_gather(
             [his_mask, jnp.zeros((b_pad - b,), his_mask.dtype)]
         )
     kernel = functools.partial(_history_mean_kernel, max_his=h)
+    his_mask = his_mask.reshape(-1, 1)
     out = pl.pallas_call(
         kernel,
         grid=(b_pad // _HIS_TILE,),
@@ -148,7 +176,7 @@ def history_mean_gather(
                 (_HIS_TILE, h), lambda i: (i, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (_HIS_TILE,), lambda i: (i,), memory_space=pltpu.SMEM
+                (_HIS_TILE, 1), lambda i: (i, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
@@ -158,7 +186,7 @@ def history_mean_gather(
         out_shape=jax.ShapeDtypeStruct((b_pad, d), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((_HIS_TILE, h, d), table.dtype),
-            pltpu.SemaphoreType.DMA((_HIS_TILE, h)),
+            pltpu.SemaphoreType.DMA((_WINDOW,)),
         ],
         interpret=interpret,
     )(his_ids, his_mask, table)

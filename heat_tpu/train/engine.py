@@ -40,6 +40,42 @@ from heat_tpu.train.samplers import init_sampler_state
 from heat_tpu.train.train_step import make_epoch_fn
 
 
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def compute_user_means(
+    item_emb: jnp.ndarray,
+    his_items: jnp.ndarray,
+    his_masks: jnp.ndarray,
+    chunk: int = 4096,
+) -> jnp.ndarray:
+    """Per-user history means over the whole user table, in chunks.
+
+    Backs cfg.his_refresh == "subepoch": one pass over U*H history rows per
+    (sub-)epoch instead of B*H rows per step (each user is revisited
+    ~train_size/U times per epoch, so this cuts the dominant gather traffic
+    by that factor at the cost of means staleness within the period).
+    """
+    from heat_tpu.models.aggregator import history_mean
+
+    u, h = his_items.shape
+    u_pad = -(-u // chunk) * chunk
+    if u_pad != u:
+        his_items = jnp.concatenate(
+            [his_items, jnp.zeros((u_pad - u, h), his_items.dtype)]
+        )
+        his_masks = jnp.concatenate(
+            [his_masks, jnp.zeros((u_pad - u,), his_masks.dtype)]
+        )
+    his_items = his_items.reshape(u_pad // chunk, chunk, h)
+    his_masks = his_masks.reshape(u_pad // chunk, chunk)
+
+    def body(_, xs):
+        ids, mask = xs
+        return None, history_mean(item_emb[ids], mask)
+
+    _, means = jax.lax.scan(body, None, (his_items, his_masks))
+    return means.reshape(u_pad, item_emb.shape[1])[:u]
+
+
 @functools.partial(jax.jit, static_argnames=("num_batches", "batch"))
 def _permute_batches(
     key: jax.Array, pairs: jnp.ndarray, num_batches: int, batch: int
@@ -141,8 +177,12 @@ class Engine:
             users = jax.device_put(users, self._batch_sharding)
             pos = jax.device_put(pos, self._batch_sharding)
             weight = jax.device_put(weight, self._batch_sharding)
-        fn = self._epoch_fn
-        args = [
+        user_means = None
+        if cfg.his_refresh == "subepoch":
+            user_means = compute_user_means(
+                self.state.item_emb, self.his_items, self.his_masks
+            )
+        self.state, self.sampler_state, loss_sum = self._epoch_fn(
             self.state,
             self.sampler_state,
             self._next_key(),
@@ -151,10 +191,9 @@ class Engine:
             weight,
             self.his_items,
             self.his_masks,
-        ]
-        if neg_candidates is not None:
-            args.append(neg_candidates)
-        self.state, self.sampler_state, loss_sum = fn(*args)
+            neg_candidates,
+            user_means,
+        )
         return float(loss_sum)
 
     def train_one_epoch(self) -> float:

@@ -61,12 +61,16 @@ def train_step(
     his_masks: jnp.ndarray,
     cfg: CFConfig,
     neg_candidates: Optional[jnp.ndarray] = None,
+    user_means: Optional[jnp.ndarray] = None,
 ) -> tuple[TrainState, SamplerState, jnp.ndarray]:
     """One fused minibatch step. Returns (state', sampler_state', loss_sum).
 
     neg_candidates: optional (C,) item-id pool to constrain negatives to
       (the sub-epoch partition-complement sampling of engine.cpp:222-237);
       None draws from the full item space.
+    user_means: optional precomputed (U, d) history-mean table
+      (cfg.his_refresh == "subepoch"); None recomputes from the live item
+      table per step (reference semantics).
     """
     users, pos, weight = batch
     negs, sampler_state = sample_negatives(key, sampler_state, pos, cfg)
@@ -80,9 +84,12 @@ def train_step(
     u_rows = user_emb[users].astype(compute)
     p_rows = item_emb[pos].astype(compute)
     n_rows = item_emb[negs].astype(compute)
-    his_ids = his_items[users]                       # (B, H)
-    his_embs = jax.lax.stop_gradient(item_emb[his_ids]).astype(compute)
-    means = history_mean(his_embs, his_masks[users])  # (B, d)
+    if user_means is not None:
+        means = jax.lax.stop_gradient(user_means[users]).astype(compute)
+    else:
+        his_ids = his_items[users]                   # (B, H)
+        his_embs = jax.lax.stop_gradient(item_emb[his_ids]).astype(compute)
+        means = history_mean(his_embs, his_masks[users])  # (B, d)
 
     def batch_loss(u_rows, p_rows, n_rows, w0):
         u_agg = aggregate_history(u_rows, means, w0.astype(compute), cfg.gamma)
@@ -183,6 +190,7 @@ def make_epoch_fn(cfg: CFConfig):
         his_items,
         his_masks,
         neg_candidates=None,
+        user_means=None,
     ):
         num_batches = users.shape[0]
         keys = jax.random.split(key, num_batches)
@@ -199,6 +207,7 @@ def make_epoch_fn(cfg: CFConfig):
                 his_masks,
                 cfg,
                 neg_candidates=neg_candidates,
+                user_means=user_means,
             )
             return (state, sampler_state), loss
 

@@ -79,6 +79,21 @@ def test_accum_mode_trains(data):
     assert losses[-1] < losses[0]
 
 
+def test_his_refresh_subepoch_accuracy_parity(data):
+    """Per-epoch history-mean caching must reach comparable ranking quality
+    to the exact per-step recompute (the staleness trade behind fast mode)."""
+    train, test = data
+    e_exact = Engine(small_cfg(), train, test)
+    e_fast = Engine(small_cfg(his_refresh="subepoch"), train, test)
+    for _ in range(6):
+        e_exact.train_one_epoch()
+        e_fast.train_one_epoch()
+    r_exact = e_exact.evaluate()["Recall(k=20)"]
+    r_fast = e_fast.evaluate()["Recall(k=20)"]
+    assert r_fast > 0.15
+    assert r_fast > r_exact * 0.85, (r_exact, r_fast)
+
+
 def test_tile_sampler_trains(data):
     train, test = data
     eng = Engine(
