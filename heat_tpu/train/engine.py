@@ -35,9 +35,11 @@ from heat_tpu.models.state import (
     init_train_state,
     zero_grad_accumulators,
 )
+from heat_tpu.models.aggregator import aggregate_history
 from heat_tpu.train.optimizer import scheduled_lr
 from heat_tpu.train.samplers import init_sampler_state
 from heat_tpu.train.train_step import make_epoch_fn
+from heat_tpu.utils.profiling import PhaseTimer, performance_breakdown
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
@@ -152,6 +154,9 @@ class Engine:
 
         self._epoch_fn = make_epoch_fn(cfg)
         self._np_rng = np.random.default_rng(seed ^ 0x5EED)
+        # Host-visible phase accumulation (the reference's time_map /
+        # performance_breakdown, engine.cpp:22-65, at engine granularity).
+        self.timer = PhaseTimer()
 
     # ------------------------------------------------------------------
     def _next_key(self) -> jax.Array:
@@ -170,31 +175,35 @@ class Engine:
         d_ax = self._data_axis_size
         batch = -(-batch // d_ax) * d_ax
         num_batches = -(-n // batch)
-        users, pos, weight = _permute_batches(
-            self._next_key(), pairs, num_batches, batch
-        )
-        if self._batch_sharding is not None:
-            users = jax.device_put(users, self._batch_sharding)
-            pos = jax.device_put(pos, self._batch_sharding)
-            weight = jax.device_put(weight, self._batch_sharding)
+        with self.timer.phase("data"):
+            users, pos, weight = _permute_batches(
+                self._next_key(), pairs, num_batches, batch
+            )
+            if self._batch_sharding is not None:
+                users = jax.device_put(users, self._batch_sharding)
+                pos = jax.device_put(pos, self._batch_sharding)
+                weight = jax.device_put(weight, self._batch_sharding)
         user_means = None
         if cfg.his_refresh == "subepoch":
-            user_means = compute_user_means(
-                self.state.item_emb, self.his_items, self.his_masks
+            with self.timer.phase("aggr_f"):
+                user_means = compute_user_means(
+                    self.state.item_emb, self.his_items, self.his_masks
+                )
+        with self.timer.phase("f_b"):
+            self.state, self.sampler_state, loss_sum = self._epoch_fn(
+                self.state,
+                self.sampler_state,
+                self._next_key(),
+                users,
+                pos,
+                weight,
+                self.his_items,
+                self.his_masks,
+                neg_candidates,
+                user_means,
             )
-        self.state, self.sampler_state, loss_sum = self._epoch_fn(
-            self.state,
-            self.sampler_state,
-            self._next_key(),
-            users,
-            pos,
-            weight,
-            self.his_items,
-            self.his_masks,
-            neg_candidates,
-            user_means,
-        )
-        return float(loss_sum)
+            loss_sum = float(loss_sum)
+        return loss_sum
 
     def train_one_epoch(self) -> float:
         """Run one epoch; returns mean per-sample loss (engine.cpp:380-384)."""
@@ -233,21 +242,45 @@ class Engine:
 
     # ------------------------------------------------------------------
     def evaluate(
-        self, metrics: Optional[Sequence[str]] = None, user_tile: int = 1024
+        self,
+        metrics: Optional[Sequence[str]] = None,
+        user_tile: int = 1024,
+        aggregate_users: bool = False,
     ) -> dict[str, float]:
-        """Tiled on-device top-k + the full metric library."""
+        """Tiled on-device top-k + the full metric library.
+
+        aggregate_users: score with freshly-aggregated user embeddings
+        (gamma * u + (1-gamma) * mean(history) @ w0) instead of the raw user
+        table — a live version of the reference's commented-out ``evaluate1``
+        (engine.cpp:402-451). With the default False, scoring uses the raw
+        table like ``evaluate0`` (whose rows were already aggregated during
+        training by the write-back).
+        """
         if self.test_data is None:
             raise ValueError("no test_data provided")
         metrics = list(metrics if metrics is not None else self.cfg.metrics)
         max_k = max(parse_metric(m)[1] for m in metrics)
-        _, top_ids = topk_scores(
-            self.state.user_emb,
-            self.state.item_emb,
-            max_k,
-            train_pairs=self.train_data.pairs,
-            user_tile=user_tile,
-        )
+        user_emb = self.state.user_emb
+        if aggregate_users:
+            means = compute_user_means(
+                self.state.item_emb, self.his_items, self.his_masks
+            )
+            user_emb = aggregate_history(
+                user_emb, means, self.state.w0, self.cfg.gamma
+            )
+        with self.timer.phase("eval"):
+            _, top_ids = topk_scores(
+                user_emb,
+                self.state.item_emb,
+                max_k,
+                train_pairs=self.train_data.pairs,
+                user_tile=user_tile,
+            )
         return evaluate_metrics(metrics, top_ids, self.test_data.user_items)
+
+    def performance_breakdown(self) -> str:
+        """Percentage tree over host-visible phases (engine.cpp:22-65)."""
+        return performance_breakdown(self.timer)
 
     def evaluate0(self) -> np.ndarray:
         """Reference-parity API: dense sim matrix (engine.cpp:388-400)."""

@@ -116,6 +116,17 @@ def test_lr_schedule_applied(data):
     assert float(eng.state.lr) == pytest.approx(0.001)
 
 
+def test_evaluate_with_aggregated_users(data):
+    """The live equivalent of the reference's commented evaluate1."""
+    train, test = data
+    eng = Engine(small_cfg(), train, test)
+    eng.train_one_epoch()
+    m = eng.evaluate(aggregate_users=True)
+    assert 0.0 <= m["Recall(k=20)"] <= 1.0
+    breakdown = eng.performance_breakdown()
+    assert "f_b" in breakdown and "eval" in breakdown
+
+
 def test_evaluate0_matches_embedding_product(data):
     train, test = data
     eng = Engine(small_cfg(), train, test)
