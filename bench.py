@@ -6,9 +6,12 @@ interactions) in ~245 s on an 8-thread CPU. This benchmark drives the real
 Engine on the same workload shape (synthetic interactions; the hot path is
 identical) and reports epoch time in two modes:
 
-* fast (headline): cfg.his_refresh="subepoch" — per-epoch history-mean
-  caching (accuracy parity validated in tests/test_engine.py);
-* exact: the reference's per-step history recompute semantics.
+* fast (headline): RandomTile negative sampler (BASELINE.json's AmazonBooks
+  config uses the refresh_interval sampler — HEAT's own flagship
+  optimization; here the tile keeps negative gathers/scatters in a T-row
+  working set) + per-epoch history-mean caching (cfg.his_refresh=
+  "subepoch", accuracy parity validated in tests/test_engine.py);
+* exact: uniform sampler + the reference's per-step history recompute.
 
 Prints exactly one JSON line.
 """
@@ -58,7 +61,9 @@ def make_dataset(rng: np.random.Generator) -> ClickDataset:
     )
 
 
-def time_epochs(his_refresh: str, dataset: ClickDataset, reps: int = 3):
+def time_epochs(
+    his_refresh: str, dataset: ClickDataset, reps: int = 3, **cfg_kw
+):
     cfg = CFConfig(
         emb_dim=EMB_DIM,
         num_negs=NUM_NEGS,
@@ -69,6 +74,7 @@ def time_epochs(his_refresh: str, dataset: ClickDataset, reps: int = 3):
         milestones=[10],
         seed=2022,
         his_refresh=his_refresh,
+        **cfg_kw,
     )
     engine = Engine(cfg, dataset)
     engine.train_one_epoch()  # warmup/compile
@@ -80,10 +86,29 @@ def time_epochs(his_refresh: str, dataset: ClickDataset, reps: int = 3):
     return float(np.median(times)), times
 
 
+def time_eval(dataset: ClickDataset) -> float:
+    """Full AmazonBooks-scale ranking eval (tiled sim + top-50)."""
+    import jax
+
+    from heat_tpu.evaluation.evaluator import topk_scores
+
+    k1, k2 = jax.random.split(jax.random.key(1))
+    user_emb = jax.random.normal(k1, (NUM_USERS, EMB_DIM))
+    item_emb = jax.random.normal(k2, (NUM_ITEMS, EMB_DIM))
+    topk_scores(user_emb, item_emb, 50, train_pairs=dataset.pairs)  # compile
+    t0 = time.perf_counter()
+    topk_scores(user_emb, item_emb, 50, train_pairs=dataset.pairs)
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     dataset = make_dataset(np.random.default_rng(0))
-    fast_s, fast_times = time_epochs("subepoch", dataset)
+    fast_s, fast_times = time_epochs(
+        "subepoch", dataset, neg_sampler=1, tile_size=512,
+        refresh_interval=8192,
+    )
     exact_s, _ = time_epochs("step", dataset)
+    eval_s = time_eval(dataset)
     result = {
         "metric": "amazonbooks_epoch_time",
         "value": round(fast_s, 4),
@@ -92,6 +117,7 @@ def main() -> None:
         "interactions_per_sec": round(TRAIN_SIZE / fast_s),
         "exact_mode_s": round(exact_s, 4),
         "exact_vs_baseline": round(BASELINE_EPOCH_S / exact_s, 2),
+        "eval_topk50_s": round(eval_s, 4),
         "times": [round(t, 4) for t in fast_times],
     }
     import jax

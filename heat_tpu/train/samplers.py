@@ -25,11 +25,30 @@ so the tile and iteration counter live on device.
 
 from __future__ import annotations
 
+from typing import NamedTuple, Optional
+
 import jax
 import jax.numpy as jnp
 from flax import struct
 
 from heat_tpu.config import CFConfig, NEG_SAMPLER_TILE
+
+
+class NegSample(NamedTuple):
+    """A batch of negatives, with tile structure when available.
+
+    ids: (B, K) negative item ids.
+    tile: (T,) the tile's item ids, or None for the uniform sampler.
+    tile_idx: (B, K) indices into the tile, or None.
+
+    The tile structure lets the train step keep negative gathers and
+    gradient scatters inside a T-row working set (HEAT's cache-tiling
+    insight, mapped to VMEM/MXU instead of L2).
+    """
+
+    ids: jnp.ndarray
+    tile: Optional[jnp.ndarray]
+    tile_idx: Optional[jnp.ndarray]
 
 
 class SamplerState(struct.PyTreeNode):
@@ -111,9 +130,8 @@ def _tile_negatives(
     idx = jax.random.randint(
         k_draw, (batch, num_negs), 0, tile_size, dtype=jnp.int32
     )
-    negs = tile[idx]
     new_state = SamplerState(tile=tile, iterations=it + batch)
-    return negs, new_state
+    return NegSample(ids=tile[idx], tile=tile, tile_idx=idx), new_state
 
 
 def sample_negatives(
@@ -121,8 +139,13 @@ def sample_negatives(
     state: SamplerState,
     pos_ids: jnp.ndarray,
     cfg: CFConfig,
-) -> tuple[jnp.ndarray, SamplerState]:
-    """Draw (B, num_negs) negative item ids for one batch."""
+) -> tuple[NegSample, SamplerState]:
+    """Draw (B, num_negs) negatives for one batch.
+
+    Tile mode follows the reference tile sampler's ``sampling()`` (no
+    positive-avoidance — random_tile_negative_sampler.cpp:31-45); uniform
+    mode follows ``ignore_pos_sampling`` when cfg.ignore_pos.
+    """
     batch = pos_ids.shape[0]
     if cfg.neg_sampler == NEG_SAMPLER_TILE:
         return _tile_negatives(
@@ -137,4 +160,7 @@ def sample_negatives(
     negs = _uniform_negatives(
         key, batch, cfg.num_negs, cfg.num_items, pos_ids, cfg.ignore_pos
     )
-    return negs, state.replace(iterations=state.iterations + batch)
+    return (
+        NegSample(ids=negs, tile=None, tile_idx=None),
+        state.replace(iterations=state.iterations + batch),
+    )

@@ -73,7 +73,20 @@ def train_step(
       table per step (reference semantics).
     """
     users, pos, weight = batch
-    negs, sampler_state = sample_negatives(key, sampler_state, pos, cfg)
+    sample, sampler_state = sample_negatives(key, sampler_state, pos, cfg)
+    negs = sample.ids
+    # The tile fast path keeps negative gathers/scatters inside the
+    # T-row tile (HEAT's cache-tiling insight mapped to a small working
+    # set + MXU-friendly segment-sum). Constrained sampling (sub-epoch
+    # partitioning) remaps ids arbitrarily, so it uses the generic path.
+    # (Accum mode treats every updated id as "touched", so folding grads
+    # onto all T tile rows would wrongly re-apply accumulated rows with
+    # zero fresh gradient — tile fast path is batch-mode only.)
+    tiled = (
+        sample.tile is not None
+        and neg_candidates is None
+        and state.item_gacc is None
+    )
     if neg_candidates is not None:
         # Constrained sampling: reinterpret draws as indices into the pool.
         negs = neg_candidates[negs % neg_candidates.shape[0]]
@@ -83,7 +96,11 @@ def train_step(
 
     u_rows = user_emb[users].astype(compute)
     p_rows = item_emb[pos].astype(compute)
-    n_rows = item_emb[negs].astype(compute)
+    if tiled:
+        tile_rows = item_emb[sample.tile]            # (T, d) once per batch
+        n_rows = tile_rows[sample.tile_idx].astype(compute)
+    else:
+        n_rows = item_emb[negs].astype(compute)
     if user_means is not None:
         means = jax.lax.stop_gradient(user_means[users]).astype(compute)
     else:
@@ -140,10 +157,25 @@ def train_step(
     )
 
     # Item table: positives and negatives in one deduplicated scatter.
-    item_ids = jnp.concatenate([pos_w, negs_w.reshape(-1)])
-    item_grads = jnp.concatenate(
-        [g_p.astype(jnp.float32), g_n.reshape(-1, g_n.shape[-1]).astype(jnp.float32)]
-    )
+    if tiled:
+        # Fold (B, K) negative grads onto the T tile rows first (a small
+        # scatter-add), then update the table at B + T rows instead of
+        # B * (1 + K).
+        g_tile = (
+            jnp.zeros((sample.tile.shape[0], g_n.shape[-1]), jnp.float32)
+            .at[sample.tile_idx.reshape(-1)]
+            .add(g_n.reshape(-1, g_n.shape[-1]).astype(jnp.float32))
+        )
+        item_ids = jnp.concatenate([pos_w, sample.tile])
+        item_grads = jnp.concatenate([g_p.astype(jnp.float32), g_tile])
+    else:
+        item_ids = jnp.concatenate([pos_w, negs_w.reshape(-1)])
+        item_grads = jnp.concatenate(
+            [
+                g_p.astype(jnp.float32),
+                g_n.reshape(-1, g_n.shape[-1]).astype(jnp.float32),
+            ]
+        )
     item_emb, item_gacc = apply_row_updates(
         item_emb,
         item_ids,

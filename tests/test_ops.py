@@ -82,6 +82,18 @@ def test_ccl_loss():
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+def test_sigmoid_stable_and_grad():
+    from heat_tpu.ops.activations import sigmoid, sigmoid_grad
+
+    x = jnp.asarray([-100.0, -1.0, 0.0, 1.0, 100.0])
+    s = np.asarray(sigmoid(x))
+    assert np.all(np.isfinite(s))
+    np.testing.assert_allclose(s[2], 0.5)
+    np.testing.assert_allclose(s, 1.0 / (1.0 + np.exp(-np.asarray(x))), rtol=1e-6)
+    g = np.asarray(sigmoid_grad(x))
+    np.testing.assert_allclose(g, s * (1 - s), rtol=1e-6)
+
+
 def test_history_mean_masks_padding():
     his = jnp.asarray(
         np.stack(

@@ -14,7 +14,7 @@ import pytest
 
 from heat_tpu.config import CFConfig
 from heat_tpu.models.state import TrainState
-from heat_tpu.train.samplers import SamplerState
+from heat_tpu.train.samplers import NegSample, SamplerState
 from heat_tpu.train.train_step import Batch, train_step
 
 import oracle
@@ -69,7 +69,8 @@ def run_batched(cfg, state, users, pos, negs, his_items, his_masks):
 
     orig = ts.sample_negatives
     try:
-        ts.sample_negatives = lambda key, st, p, c: (jnp.asarray(negs), st)
+        ts.sample_negatives = lambda key, st, p, c: (
+            NegSample(jnp.asarray(negs), None, None), st)
         sstate = SamplerState(
             tile=jnp.zeros((1,), jnp.int32), iterations=jnp.asarray(0)
         )
@@ -211,7 +212,8 @@ def test_padding_rows_are_inert():
     all_negs = np.concatenate([negs, pad_negs])
     orig = ts.sample_negatives
     try:
-        ts.sample_negatives = lambda key, st, p, c: (jnp.asarray(all_negs), st)
+        ts.sample_negatives = lambda key, st, p, c: (
+            NegSample(jnp.asarray(all_negs), None, None), st)
         sstate = SamplerState(
             tile=jnp.zeros((1,), jnp.int32), iterations=jnp.asarray(0)
         )

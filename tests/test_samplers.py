@@ -12,7 +12,8 @@ def test_uniform_range_and_pos_avoidance():
     cfg = CFConfig(num_items=50, num_negs=8, ignore_pos=True)
     state = init_sampler_state(cfg, jax.random.key(0))
     pos = jnp.asarray(np.full(256, 7), jnp.int32)
-    negs, state = sample_negatives(jax.random.key(1), state, pos, cfg)
+    sample, state = sample_negatives(jax.random.key(1), state, pos, cfg)
+    negs = sample.ids
     n = np.asarray(negs)
     assert n.shape == (256, 8)
     assert n.min() >= 0 and n.max() < 50
@@ -26,7 +27,8 @@ def test_uniform_covers_item_space():
     cfg = CFConfig(num_items=20, num_negs=4, ignore_pos=False)
     state = init_sampler_state(cfg, jax.random.key(0))
     pos = jnp.zeros(500, jnp.int32)
-    negs, _ = sample_negatives(jax.random.key(2), state, pos, cfg)
+    sample, _ = sample_negatives(jax.random.key(2), state, pos, cfg)
+    negs = sample.ids
     seen = np.unique(np.asarray(negs))
     assert len(seen) == 20  # all items reachable
 
@@ -41,7 +43,8 @@ def test_tile_sampler_draws_within_tile():
     )
     state = init_sampler_state(cfg, jax.random.key(3))
     pos = jnp.zeros(64, jnp.int32)
-    negs, state2 = sample_negatives(jax.random.key(4), state, pos, cfg)
+    sample, state2 = sample_negatives(jax.random.key(4), state, pos, cfg)
+    negs = sample.ids
     tile = set(np.asarray(state2.tile).tolist())
     assert set(np.asarray(negs).ravel().tolist()) <= tile
     assert len(tile) <= 16
