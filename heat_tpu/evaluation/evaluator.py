@@ -5,12 +5,14 @@ with one Eigen GEMM (engine.cpp:388-400), copies it to Python, masks train
 items to -inf in numpy, and top-ks with argpartition (metrics.py:21-29). At
 full scale that matrix does not fit anywhere (52k x 91k f32 ~ 19 GB; the
 synthetic 100M x 10M config makes it absurd), so here the evaluation runs in
-user tiles entirely on device:
+user tiles entirely on device, as ONE jitted scan over tiles (per-tile
+dispatch round-trips dominate otherwise — measured 13 s vs ~1 s at
+AmazonBooks scale on the axon relay):
 
-  for each tile of T users:
+  scan over user tiles:
       sim   = U_tile @ I^T            (MXU GEMM, f32 accumulation)
       sim  -= inf at this tile's train pairs (scatter, padded ids dropped)
-      top_k = lax.top_k(sim, k)
+      top_k = lax.top_k(sim, k)       (or approx_max_k when exact=False)
 
 Only (num_users, k) scores/ids ever reach the host. Evaluation scoring uses
 the raw dot product, as the reference does (engine.cpp:398 — no
@@ -28,22 +30,36 @@ import numpy as np
 NEG_INF = jnp.finfo(jnp.float32).min
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _topk_tile(
-    user_tile: jnp.ndarray,     # (T, d)
-    item_emb: jnp.ndarray,      # (I, d)
-    mask_u: jnp.ndarray,        # (P,) tile-local user rows (P padded; >=T drops)
-    mask_i: jnp.ndarray,        # (P,) item ids
+@functools.partial(jax.jit, static_argnames=("k", "exact"))
+def _topk_all_tiles(
+    user_tiles: jnp.ndarray,  # (n_tiles, T, d)
+    item_emb: jnp.ndarray,    # (I, d)
+    mask_u: jnp.ndarray,      # (n_tiles, P) tile-local user rows (>=T drops)
+    mask_i: jnp.ndarray,      # (n_tiles, P) item ids
     *,
     k: int,
+    exact: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    sim = jnp.dot(
-        user_tile.astype(jnp.float32),
-        item_emb.astype(jnp.float32).T,
-        preferred_element_type=jnp.float32,
+    item_t = item_emb.astype(jnp.float32).T
+
+    def body(carry, xs):
+        u_tile, mu, mi = xs
+        sim = jnp.dot(
+            u_tile.astype(jnp.float32),
+            item_t,
+            preferred_element_type=jnp.float32,
+        )
+        sim = sim.at[mu, mi].set(NEG_INF, mode="drop")
+        if exact:
+            out = jax.lax.top_k(sim, k)
+        else:
+            out = jax.lax.approx_max_k(sim, k, recall_target=0.95)
+        return carry, out
+
+    _, (scores, ids) = jax.lax.scan(
+        body, None, (user_tiles, mask_u, mask_i)
     )
-    sim = sim.at[mask_u, mask_i].set(NEG_INF, mode="drop")
-    return jax.lax.top_k(sim, k)
+    return scores, ids
 
 
 def _pairs_by_tile(
@@ -66,6 +82,71 @@ def _pairs_by_tile(
     ]
 
 
+class TiledEvaluator:
+    """Reusable tiled evaluator: the train-pair mask tensors are built and
+    uploaded once (they are static per dataset), so repeated evaluations
+    only move (U, k) results. On tunneled dev setups host<->device transfers
+    run at MB/s, so this caching is the difference between ~1 s and ~20 s
+    per evaluation at AmazonBooks scale."""
+
+    def __init__(
+        self,
+        train_pairs: np.ndarray | None,
+        num_users: int,
+        user_tile: int = 1024,
+    ):
+        self.num_users = num_users
+        self.user_tile = user_tile
+        self.num_tiles = -(-num_users // user_tile)
+        if train_pairs is None:
+            train_pairs = np.zeros((0, 2), np.int32)
+        buckets = _pairs_by_tile(
+            np.asarray(train_pairs), num_users, user_tile
+        )
+        pmax = max(1, max(len(b) for b in buckets))
+        mask_u = np.full((self.num_tiles, pmax), user_tile, np.int32)
+        mask_i = np.zeros((self.num_tiles, pmax), np.int32)
+        for ti, pairs in enumerate(buckets):
+            if len(pairs):
+                mask_u[ti, : len(pairs)] = pairs[:, 0] % user_tile
+                mask_i[ti, : len(pairs)] = pairs[:, 1]
+        self.mask_u = jnp.asarray(mask_u)
+        self.mask_i = jnp.asarray(mask_i)
+
+    def topk(
+        self,
+        user_emb,
+        item_emb,
+        k: int,
+        *,
+        exact: bool = True,
+        return_scores: bool = False,
+    ):
+        user_emb = jnp.asarray(user_emb)
+        item_emb = jnp.asarray(item_emb)
+        pad_rows = self.num_tiles * self.user_tile - self.num_users
+        if pad_rows:
+            user_emb = jnp.concatenate(
+                [
+                    user_emb,
+                    jnp.zeros((pad_rows, user_emb.shape[1]), user_emb.dtype),
+                ]
+            )
+        user_tiles = user_emb.reshape(self.num_tiles, self.user_tile, -1)
+        scores, ids = _topk_all_tiles(
+            user_tiles, item_emb, self.mask_u, self.mask_i, k=k, exact=exact
+        )
+        ids = (
+            np.asarray(ids)
+            .reshape(self.num_tiles * self.user_tile, k)[: self.num_users]
+            .astype(np.int32)
+        )
+        if not return_scores:
+            return None, ids
+        scores = np.asarray(scores).reshape(-1, k)[: self.num_users]
+        return scores, ids
+
+
 def topk_scores(
     user_emb,
     item_emb,
@@ -73,52 +154,16 @@ def topk_scores(
     *,
     train_pairs: np.ndarray | None = None,
     user_tile: int = 1024,
+    exact: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Top-k item ids and scores per user, with train interactions masked.
+    """One-shot wrapper over TiledEvaluator (see class docstring).
 
-    Args:
-      user_emb: (U, d) array (host or device).
-      item_emb: (I, d) array.
-      k: ranks to keep (>= the largest metric k).
-      train_pairs: (N, 2) numpy (user, item) pairs to exclude, or None.
-      user_tile: users per device tile.
-
-    Returns:
-      (scores (U, k) f32, ids (U, k) i32) as numpy arrays.
+    Returns (scores (U, k) f32, ids (U, k) i32) as numpy arrays.
     """
-    num_users = int(user_emb.shape[0])
-    user_emb = jnp.asarray(user_emb)
-    item_emb = jnp.asarray(item_emb)
-    num_tiles = -(-num_users // user_tile)
-    if train_pairs is None:
-        train_pairs = np.zeros((0, 2), np.int32)
-    buckets = _pairs_by_tile(np.asarray(train_pairs), num_users, user_tile)
-    # Pad every tile's mask list to one static shape -> single compilation.
-    pmax = max(1, max(len(b) for b in buckets))
-    out_scores = np.empty((num_tiles * user_tile, k), np.float32)
-    out_ids = np.empty((num_tiles * user_tile, k), np.int32)
-    pad_rows = num_tiles * user_tile - num_users
-    if pad_rows:
-        user_emb = jnp.concatenate(
-            [user_emb, jnp.zeros((pad_rows, user_emb.shape[1]), user_emb.dtype)]
-        )
-    for ti in range(num_tiles):
-        pairs = buckets[ti]
-        mask_u = np.full((pmax,), user_tile, np.int32)  # drop sentinel
-        mask_i = np.zeros((pmax,), np.int32)
-        if len(pairs):
-            mask_u[: len(pairs)] = pairs[:, 0] % user_tile
-            mask_i[: len(pairs)] = pairs[:, 1]
-        scores, ids = _topk_tile(
-            user_emb[ti * user_tile : (ti + 1) * user_tile],
-            item_emb,
-            jnp.asarray(mask_u),
-            jnp.asarray(mask_i),
-            k=k,
-        )
-        out_scores[ti * user_tile : (ti + 1) * user_tile] = np.asarray(scores)
-        out_ids[ti * user_tile : (ti + 1) * user_tile] = np.asarray(ids)
-    return out_scores[:num_users], out_ids[:num_users]
+    ev = TiledEvaluator(
+        train_pairs, int(user_emb.shape[0]), user_tile=user_tile
+    )
+    return ev.topk(user_emb, item_emb, k, exact=exact, return_scores=True)
 
 
 def full_sim_matrix(user_emb, item_emb) -> np.ndarray:

@@ -28,7 +28,7 @@ import numpy as np
 
 from heat_tpu.config import CFConfig, SGD_MODE_ACCUM
 from heat_tpu.data.datasets import ClickDataset
-from heat_tpu.evaluation.evaluator import full_sim_matrix, topk_scores
+from heat_tpu.evaluation.evaluator import TiledEvaluator, full_sim_matrix
 from heat_tpu.evaluation.metrics import evaluate_metrics, parse_metric
 from heat_tpu.models.state import (
     TrainState,
@@ -157,6 +157,7 @@ class Engine:
         # Host-visible phase accumulation (the reference's time_map /
         # performance_breakdown, engine.cpp:22-65, at engine granularity).
         self.timer = PhaseTimer()
+        self._evaluator = None  # lazy TiledEvaluator (mask tensors cached)
 
     # ------------------------------------------------------------------
     def _next_key(self) -> jax.Array:
@@ -269,12 +270,17 @@ class Engine:
                 user_emb, means, self.state.w0, self.cfg.gamma
             )
         with self.timer.phase("eval"):
-            _, top_ids = topk_scores(
-                user_emb,
-                self.state.item_emb,
-                max_k,
-                train_pairs=self.train_data.pairs,
-                user_tile=user_tile,
+            if (
+                self._evaluator is None
+                or self._evaluator.user_tile != user_tile
+            ):
+                self._evaluator = TiledEvaluator(
+                    self.train_data.pairs,
+                    self.cfg.num_users,
+                    user_tile=user_tile,
+                )
+            _, top_ids = self._evaluator.topk(
+                user_emb, self.state.item_emb, max_k
             )
         return evaluate_metrics(metrics, top_ids, self.test_data.user_items)
 
