@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from heat_tpu.config import CFConfig, SGD_MODE_ACCUM
-from heat_tpu.data.datasets import ClickDataset
+from heat_tpu.data.datasets import ClickDataset, user_range_bounds
 from heat_tpu.evaluation.evaluator import TiledEvaluator, full_sim_matrix
 from heat_tpu.evaluation.metrics import evaluate_metrics, parse_metric
 from heat_tpu.models.state import (
@@ -40,6 +40,19 @@ from heat_tpu.train.optimizer import scheduled_lr
 from heat_tpu.train.samplers import init_sampler_state
 from heat_tpu.train.train_step import make_epoch_fn
 from heat_tpu.utils.profiling import PhaseTimer, performance_breakdown
+
+
+def _process_local_rows(arr) -> np.ndarray:
+    """This process's rows of a dim-0-sharded global array (deduplicating
+    replicas along other mesh axes)."""
+    by_start: dict[int, np.ndarray] = {}
+    for s in arr.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in by_start:
+            by_start[start] = np.asarray(s.data)
+    return np.concatenate(
+        [by_start[k] for k in sorted(by_start)], axis=0
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
@@ -119,6 +132,15 @@ class Engine:
         cfg.num_users = train_data.num_users
         cfg.num_items = train_data.num_items
         cfg.train_size = train_data.train_size
+        if mesh is not None and jax.process_count() > 1:
+            # Global sample count for the epoch-loss mean (the reference
+            # Allreduces iteration counts, engine.cpp:381-383).
+            from jax.experimental import multihost_utils
+
+            counts = multihost_utils.process_allgather(
+                np.asarray([train_data.train_size])
+            )
+            cfg.train_size = int(np.sum(counts))
         self.cfg = cfg
         self.train_data = train_data
         self.test_data = test_data
@@ -128,26 +150,56 @@ class Engine:
         seed = cfg.seed if seed is None else seed
         root = jax.random.key(seed)
         k_state, k_sampler, self._key = jax.random.split(root, 3)
-        self.state: TrainState = init_train_state(cfg, k_state)
+        if mesh is None:
+            self.state: TrainState = init_train_state(cfg, k_state)
         self.sampler_state = init_sampler_state(cfg, k_sampler)
 
         self.pairs = jnp.asarray(train_data.pairs, jnp.int32)
         self.his_items = jnp.asarray(train_data.his_items, jnp.int32)
         self.his_masks = jnp.asarray(train_data.masks, jnp.int32)
 
+        self._multiprocess = mesh is not None and jax.process_count() > 1
         if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
             from heat_tpu.parallel.mesh import (
+                DATA_AXIS,
                 batch_sharding,
-                shard_data_arrays,
-                shard_train_state,
+                train_state_shardings,
             )
 
-            self.state = shard_train_state(self.state, mesh)
-            self.his_items, self.his_masks = shard_data_arrays(
-                mesh, self.his_items, self.his_masks
-            )
             self._batch_sharding = batch_sharding(mesh)
-            self._data_axis_size = mesh.shape["data"]
+            self._data_axis_size = mesh.shape[DATA_AXIS]
+            # Initialize the state directly into its sharded layout (works
+            # both single-process and multi-host: each process materializes
+            # only its addressable shards).
+            template = jax.eval_shape(lambda k: init_train_state(cfg, k), k_state)
+            shardings = train_state_shardings(mesh, template)
+            self.state = jax.jit(
+                lambda k: init_train_state(cfg, k),
+                out_shardings=shardings,
+            )(k_state)
+            row_sh = NamedSharding(mesh, P(DATA_AXIS, None))
+            vec_sh = NamedSharding(mesh, P(DATA_AXIS))
+            if self._multiprocess:
+                # train_data is this process's user-range slice with GLOBAL
+                # ids (shard_by_user_range(..., rebase=False)); its history
+                # rows are exactly this host's addressable slice of the
+                # global (U, H) table.
+                if cfg.num_users % self._data_axis_size:
+                    raise ValueError(
+                        "multi-host runs require num_users divisible by the "
+                        f"data axis ({self._data_axis_size})"
+                    )
+                self.his_items = jax.make_array_from_process_local_data(
+                    row_sh, np.asarray(train_data.his_items)
+                )
+                self.his_masks = jax.make_array_from_process_local_data(
+                    vec_sh, np.asarray(train_data.masks)
+                )
+            else:
+                self.his_items = jax.device_put(self.his_items, row_sh)
+                self.his_masks = jax.device_put(self.his_masks, vec_sh)
         else:
             self._batch_sharding = None
             self._data_axis_size = 1
@@ -164,19 +216,15 @@ class Engine:
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def _run_pairs(self, pairs: jnp.ndarray, neg_candidates=None) -> float:
-        """Scan one pair set (an epoch or a sub-epoch bucket)."""
+    def _make_batches(self, pairs: jnp.ndarray):
+        """Shuffle + pack local pairs; assemble the (global) batch arrays."""
         cfg = self.cfg
         n = int(pairs.shape[0])
-        if n == 0:
-            return 0.0
-        batch = min(cfg.batch_size, max(1, n))
-        # The batch dim is sharded over the mesh "data" axis; keep it
-        # divisible (padding rows carry weight 0 and are inert).
         d_ax = self._data_axis_size
-        batch = -(-batch // d_ax) * d_ax
-        num_batches = -(-n // batch)
-        with self.timer.phase("data"):
+        if not self._multiprocess:
+            batch = min(cfg.batch_size, max(1, n))
+            batch = -(-batch // d_ax) * d_ax  # divisible by the data axis
+            num_batches = -(-n // batch)
             users, pos, weight = _permute_batches(
                 self._next_key(), pairs, num_batches, batch
             )
@@ -184,6 +232,43 @@ class Engine:
                 users = jax.device_put(users, self._batch_sharding)
                 pos = jax.device_put(pos, self._batch_sharding)
                 weight = jax.device_put(weight, self._batch_sharding)
+            return users, pos, weight
+        # Multi-host: each process shuffles its local pairs and contributes
+        # batch_size/P rows per step; processes must agree on the number of
+        # batches (the reference's ranks implicitly agree by partition
+        # construction; here the max over hosts is used, short hosts pad).
+        from jax.experimental import multihost_utils
+
+        nproc = jax.process_count()
+        local_batch = max(1, (-(-cfg.batch_size // d_ax) * d_ax) // nproc)
+        local_nb = -(-max(1, n) // local_batch)
+        all_nb = multihost_utils.process_allgather(np.asarray([local_nb]))
+        num_batches = int(np.max(all_nb))
+        if n > 0:
+            users, pos, weight = _permute_batches(
+                self._next_key(), pairs, num_batches, local_batch
+            )
+        else:  # empty shard: all-padding contribution
+            self._next_key()
+            users = jnp.zeros((num_batches, local_batch), jnp.int32)
+            pos = jnp.zeros((num_batches, local_batch), jnp.int32)
+            weight = jnp.zeros((num_batches, local_batch), jnp.float32)
+        out = []
+        for arr in (users, pos, weight):
+            out.append(
+                jax.make_array_from_process_local_data(
+                    self._batch_sharding, np.asarray(arr)
+                )
+            )
+        return tuple(out)
+
+    def _run_pairs(self, pairs: jnp.ndarray, neg_candidates=None) -> float:
+        """Scan one pair set (an epoch or a sub-epoch bucket)."""
+        cfg = self.cfg
+        if int(pairs.shape[0]) == 0 and not self._multiprocess:
+            return 0.0
+        with self.timer.phase("data"):
+            users, pos, weight = self._make_batches(pairs)
         user_means = None
         if cfg.his_refresh == "subepoch":
             with self.timer.phase("aggr_f"):
@@ -261,6 +346,8 @@ class Engine:
             raise ValueError("no test_data provided")
         metrics = list(metrics if metrics is not None else self.cfg.metrics)
         max_k = max(parse_metric(m)[1] for m in metrics)
+        if self._multiprocess:
+            return self._evaluate_multiprocess(metrics, max_k, user_tile)
         user_emb = self.state.user_emb
         if aggregate_users:
             means = compute_user_means(
@@ -283,6 +370,41 @@ class Engine:
                 user_emb, self.state.item_emb, max_k
             )
         return evaluate_metrics(metrics, top_ids, self.test_data.user_items)
+
+    def _evaluate_multiprocess(
+        self, metrics: Sequence[str], max_k: int, user_tile: int
+    ) -> dict[str, float]:
+        """Per-host ranking eval + exact cross-host metric averaging.
+
+        The reference evaluates per rank and never combines metrics
+        (SURVEY.md section 3.3 flags this as a gap); here each host scores
+        its user rows against the allgathered item table and the per-user
+        metric sums are combined across hosts.
+        """
+        from jax.experimental import multihost_utils
+
+        item_emb = multihost_utils.process_allgather(
+            self.state.item_emb, tiled=True
+        )
+        user_local = _process_local_rows(self.state.user_emb)
+        start, _ = user_range_bounds(
+            self.cfg.num_users, jax.process_count(), jax.process_index()
+        )
+        local_pairs = np.asarray(self.train_data.pairs).copy()
+        if len(local_pairs):
+            local_pairs[:, 0] -= start
+        ev = TiledEvaluator(
+            local_pairs, user_local.shape[0], user_tile=user_tile
+        )
+        _, top_ids = ev.topk(user_local, item_emb, max_k)
+        local = evaluate_metrics(metrics, top_ids, self.test_data.user_items)
+        count = sum(1 for t in self.test_data.user_items if len(t))
+        sums = np.asarray([local[m] * count for m in metrics] + [count])
+        totals = multihost_utils.process_allgather(sums).reshape(
+            jax.process_count(), -1
+        ).sum(axis=0)
+        denom = max(totals[-1], 1.0)
+        return {m: float(totals[i] / denom) for i, m in enumerate(metrics)}
 
     def performance_breakdown(self) -> str:
         """Percentage tree over host-visible phases (engine.cpp:22-65)."""

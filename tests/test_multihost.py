@@ -1,0 +1,37 @@
+"""True multi-process training: 2 jax.distributed processes over a global
+mesh (scripts/multihost_demo.py run as subprocesses). Validates the
+make_array_from_process_local_data path, cross-host collectives inside the
+jitted epoch, and cross-host metric combining."""
+
+import os
+import subprocess
+import sys
+
+
+def test_two_process_training():
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    port = 40000 + (os.getpid() % 20000)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(root, "scripts", "multihost_demo.py"),
+            "--procs",
+            "2",
+            "--port",
+            str(port),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "multihost demo ok" in proc.stdout
+    # both processes converge to the same global loss
+    lines = [l for l in proc.stdout.splitlines() if "losses" in l]
+    assert len(lines) == 2
+    assert lines[0].split("losses")[1].split("recall")[0] == lines[
+        1
+    ].split("losses")[1].split("recall")[0]
