@@ -110,7 +110,16 @@ _METRIC_FNS: dict[str, Callable] = {
 def _hits_matrix(
     top_k_items: np.ndarray, true_items: Sequence[Sequence[int]]
 ) -> np.ndarray:
-    """(U, k) 0/1 membership of each ranked item in the user's true set."""
+    """(U, k) 0/1 membership of each ranked item in the user's true set.
+
+    Uses the native OpenMP kernel (heat_tpu/native/metrics_kernels.cc) when
+    available; numpy per-user searchsorted is the fallback/oracle."""
+    try:
+        from heat_tpu.native import hits_matrix
+
+        return hits_matrix(np.asarray(top_k_items), true_items)
+    except Exception:
+        pass
     u, k = top_k_items.shape
     hits = np.zeros((u, k), np.float64)
     for row, true in enumerate(true_items):

@@ -77,10 +77,18 @@ def main(argv=None) -> None:
         nproc = jax.process_count()
         if nproc > 1:
             rank = jax.process_index()
-            train_data = shard_by_user_range(train_data, nproc, rank)
+            # Global ids: the shards feed one global row-sharded user table.
+            train_data = shard_by_user_range(
+                train_data, nproc, rank, rebase=False
+            )
             test_data = shard_by_user_range(test_data, nproc, rank)
 
-    engine = Engine(cfg, train_data, test_data)
+    mesh = None
+    if jax.process_count() > 1 or len(jax.devices()) > 1:
+        from heat_tpu.parallel.distributed import global_mesh
+
+        mesh = global_mesh()
+    engine = Engine(cfg, train_data, test_data, mesh=mesh)
     if args.checkpoint_dir:
         from heat_tpu.checkpoint import CheckpointManager
 

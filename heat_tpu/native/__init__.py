@@ -17,7 +17,10 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "_heat_native.so")
-_SRC = os.path.join(_DIR, "click_parser.cc")
+_SRCS = [
+    os.path.join(_DIR, "click_parser.cc"),
+    os.path.join(_DIR, "metrics_kernels.cc"),
+]
 _LOCK = threading.Lock()
 _LIB = None
 
@@ -31,7 +34,7 @@ def _build() -> str:
         "-shared",
         "-fPIC",
         "-std=c++17",
-        _SRC,
+        *_SRCS,
         "-o",
         _SO,
     ]
@@ -43,9 +46,9 @@ def _lib() -> ctypes.CDLL:
     global _LIB
     with _LOCK:
         if _LIB is None:
-            if not os.path.exists(_SO) or os.path.getmtime(
-                _SO
-            ) < os.path.getmtime(_SRC):
+            if not os.path.exists(_SO) or os.path.getmtime(_SO) < max(
+                os.path.getmtime(s) for s in _SRCS
+            ):
                 _build()
             lib = ctypes.CDLL(_SO)
             lib.parse_click_file.restype = ctypes.c_void_p
@@ -61,8 +64,46 @@ def _lib() -> ctypes.CDLL:
             ]
             lib.parsed_free.restype = None
             lib.parsed_free.argtypes = [ctypes.c_void_p]
+            lib.hits_matrix.restype = None
+            lib.hits_matrix.argtypes = [
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_double),
+            ]
             _LIB = lib
     return _LIB
+
+
+def hits_matrix(top: np.ndarray, true_items) -> np.ndarray:
+    """(U, k) 0/1 hit matrix via the native OpenMP kernel.
+
+    top: (U, k) ranked item ids; true_items: per-user truth lists.
+    """
+    lib = _lib()
+    top = np.ascontiguousarray(top, np.int32)
+    u, k = top.shape
+    offsets = np.zeros(u + 1, np.int64)
+    for i, t in enumerate(true_items):
+        offsets[i + 1] = offsets[i] + len(t)
+    truth = np.empty(max(int(offsets[-1]), 1), np.int32)
+    for i, t in enumerate(true_items):
+        if len(t):
+            truth[offsets[i] : offsets[i + 1]] = np.sort(
+                np.asarray(t, np.int32)
+            )
+    out = np.empty((u, k), np.float64)
+    lib.hits_matrix(
+        top.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        u,
+        k,
+        truth.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return out
 
 
 def parse_click_file(path: str, separator: str = " ") -> list[np.ndarray]:
