@@ -14,6 +14,7 @@ import os
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -47,18 +48,35 @@ class CheckpointManager:
         step = self._mgr.latest_step()
         if step is None:
             return None
-        template = {
-            "state": engine.state,
-            "sampler": engine.sampler_state,
-            "key": jax.random.key_data(engine._key),
-            "epoch": np.asarray(engine.epoch, np.int64),
-        }
+
+        def abstract(x):
+            # Carry shardings so sharded/replicated arrays restore onto
+            # their mesh layout instead of a single device.
+            if isinstance(x, jax.Array):
+                return jax.ShapeDtypeStruct(
+                    x.shape, x.dtype, sharding=x.sharding
+                )
+            return x
+
+        template = jax.tree.map(
+            abstract,
+            {
+                "state": engine.state,
+                "sampler": engine.sampler_state,
+                "key": jax.random.key_data(engine._key),
+                "epoch": np.asarray(engine.epoch, np.int64),
+            },
+        )
         restored = self._mgr.restore(
             step, args=ocp.args.StandardRestore(template)
         )
         engine.state = restored["state"]
         engine.sampler_state = restored["sampler"]
-        engine._key = jax.random.wrap_key_data(restored["key"])
+        # Rebuild the key from host data: the restored array is committed to
+        # one device, which would conflict with mesh-sharded step arguments.
+        engine._key = jax.random.wrap_key_data(
+            jnp.asarray(np.asarray(restored["key"]))
+        )
         engine.epoch = int(restored["epoch"])
         return step
 

@@ -181,6 +181,13 @@ class Engine:
             )(k_state)
             row_sh = NamedSharding(mesh, P(DATA_AXIS, None))
             vec_sh = NamedSharding(mesh, P(DATA_AXIS))
+            # Sampler state rides along replicated so committed restores
+            # (checkpointing) cannot conflict with the mesh layout.
+            self._replicated = NamedSharding(mesh, P())
+            self.sampler_state = jax.tree.map(
+                lambda x: jax.device_put(x, self._replicated),
+                self.sampler_state,
+            )
             if self._multiprocess:
                 # train_data is this process's user-range slice with GLOBAL
                 # ids (shard_by_user_range(..., rebase=False)); its history
@@ -203,6 +210,7 @@ class Engine:
         else:
             self._batch_sharding = None
             self._data_axis_size = 1
+            self._replicated = None
 
         self._epoch_fn = make_epoch_fn(cfg)
         self._np_rng = np.random.default_rng(seed ^ 0x5EED)
@@ -295,7 +303,10 @@ class Engine:
         """Run one epoch; returns mean per-sample loss (engine.cpp:380-384)."""
         cfg = self.cfg
         lr = scheduled_lr(cfg.l_r, self.epoch, cfg.milestones, cfg.lr_gamma)
-        self.state = self.state.replace(lr=jnp.asarray(lr, jnp.float32))
+        lr_arr = jnp.asarray(lr, jnp.float32)
+        if self._replicated is not None:
+            lr_arr = jax.device_put(lr_arr, self._replicated)
+        self.state = self.state.replace(lr=lr_arr)
 
         total_loss = 0.0
         if cfg.num_subepochs <= 1:

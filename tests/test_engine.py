@@ -105,6 +105,18 @@ def test_tile_sampler_trains(data):
     assert losses[-1] < losses[0]
 
 
+def test_bfloat16_tables_train(data):
+    """bf16 embedding tables (compute stays f32): trains and ranks well."""
+    train, test = data
+    eng = Engine(small_cfg(param_dtype="bfloat16", l_r=0.08), train, test)
+    losses = [eng.train_one_epoch() for _ in range(6)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9
+    assert str(eng.state.user_emb.dtype) == "bfloat16"
+    m = eng.evaluate()
+    assert m["Recall(k=20)"] > 0.12, m
+
+
 def test_lr_schedule_applied(data):
     train, test = data
     eng = Engine(small_cfg(milestones=[1, 2], l_r=0.1), train, test)
