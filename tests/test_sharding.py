@@ -66,7 +66,7 @@ def test_sharded_step_matches_single_device(data):
         np.asarray(e_sharded.state.user_emb),
         np.asarray(e_single.state.user_emb),
         rtol=1e-4,
-        atol=1e-6,
+        atol=5e-6,
     )
     # Item rows receive up to B*(1+K) scatter contributions whose reduction
     # order differs under sharding; tolerance reflects f32 noise on ~1e-2
