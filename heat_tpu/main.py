@@ -63,6 +63,13 @@ def main(argv=None) -> None:
     else:
         train_path = os.path.join(ds_cfg.data_dir, ds_cfg.train_data)
         test_path = os.path.join(ds_cfg.data_dir, ds_cfg.test_data)
+        if not os.path.exists(train_path):
+            raise SystemExit(
+                f"training data not found: {train_path}\n"
+                "Point dataset_config.data_dir at a LightGCN-format dataset "
+                "(user item1 item2 ... lines), or pass --synthetic U,I to "
+                "train on generated data."
+            )
         train_data = ClickDataset.from_file(
             train_path, max_his=cfg.max_his, separator=ds_cfg.separator,
             seed=cfg.seed,

@@ -90,7 +90,12 @@ def apply_row_updates(
 
     ids == table.shape[0] are padding and are dropped.
     """
-    if table.shape[0] <= DENSE_ROWS_THRESHOLD:
+    # Measured on v5e (in-scan, AmazonBooks shapes): the dense path wins
+    # when the touched-id count is a sizable fraction of the table; the
+    # sort path wins when ids are sparse relative to the table (it avoids
+    # the O(rows) passes) and is mandatory for huge tables.
+    sparse_touch = ids.shape[0] * 8 < table.shape[0]
+    if table.shape[0] <= DENSE_ROWS_THRESHOLD and not sparse_touch:
         return _apply_row_updates_dense(
             table, ids, grads, lr=lr, clip_val=clip_val, gacc=gacc,
             decay=decay, l2=l2,
