@@ -139,7 +139,6 @@ def train_step(
     valid = weight > 0
     users_w = jnp.where(valid, users, drop_user)
     pos_w = jnp.where(valid, pos, drop_item)
-    negs_w = jnp.where(valid[:, None], negs, drop_item)
 
     # User table: the aggregated embedding replaces the row, then SGD.
     user_emb = user_emb.at[users_w].set(
@@ -169,6 +168,7 @@ def train_step(
         item_ids = jnp.concatenate([pos_w, sample.tile])
         item_grads = jnp.concatenate([g_p.astype(jnp.float32), g_tile])
     else:
+        negs_w = jnp.where(valid[:, None], negs, drop_item)
         item_ids = jnp.concatenate([pos_w, negs_w.reshape(-1)])
         item_grads = jnp.concatenate(
             [
