@@ -128,6 +128,27 @@ def test_lr_schedule_applied(data):
     assert float(eng.state.lr) == pytest.approx(0.001)
 
 
+@pytest.mark.parametrize(
+    "variant",
+    [
+        dict(loss="CosineContrastiveLoss", l_r=0.02),
+        dict(loss="SigmoidPairwiseLoss"),
+        # dot similarity on sigma=1e-2 init yields ~1e-3 scores, so grads
+        # are tiny; a larger lr is needed to see movement in 3 epochs.
+        dict(similarity="dot", l_r=0.5, clip_val=0.1),
+        dict(l2_enabled=True, l2=1e-4),
+        dict(ignore_pos=False),
+    ],
+    ids=["ccl", "sigmoid", "dot", "l2", "no_ignore_pos"],
+)
+def test_loss_and_similarity_variants_train(data, variant):
+    train, test = data
+    eng = Engine(small_cfg(**variant), train, test)
+    losses = [eng.train_one_epoch() for _ in range(3)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], (variant, losses)
+
+
 def test_evaluate_with_aggregated_users(data):
     """The live equivalent of the reference's commented evaluate1."""
     train, test = data
