@@ -36,6 +36,30 @@ def test_history_mean_gather_interpret():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_scatter_add_rows_interpret():
+    from heat_tpu.ops.pallas.scatter import scatter_add_rows
+
+    rng = np.random.default_rng(3)
+    n, d, m = 400, 128, 200
+    table = rng.normal(size=(n, d)).astype(np.float32)
+    ids = rng.choice(n, size=m, replace=False).astype(np.int32)  # unique
+    deltas = rng.normal(size=(m, d)).astype(np.float32)
+    # mix in zero-delta padding rows pointing at row 0
+    ids_p = np.concatenate([ids, np.zeros(56, np.int32)])
+    deltas_p = np.concatenate([deltas, np.zeros((56, d), np.float32)])
+    got = np.asarray(
+        scatter_add_rows(
+            jnp.asarray(table),
+            jnp.asarray(ids_p),
+            jnp.asarray(deltas_p),
+            interpret=True,
+        )
+    )
+    want = table.copy()
+    want[ids] += deltas
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
 def test_unsupported_dim_raises():
     table = jnp.zeros((10, 64), jnp.float32)
     ids = jnp.zeros((4,), jnp.int32)
