@@ -13,8 +13,10 @@ pipelined in chunks of _WINDOW rows, with the table aliased in place.
 Safety requirements (enforced by the caller, train/scatter.py):
 * ids are UNIQUE among real entries (the sort-dedup pass guarantees it) —
   otherwise pipelined RMWs race;
-* padding entries map to row 0 with delta == 0 (racing RMWs then write
-  back identical bytes, which is harmless);
+* padding entries use the sentinel id == table.shape[0]; the kernel skips
+  them entirely (a pad entry remapped onto a REAL row would race with
+  that row's RMW even with a zero delta — its stale read-back can clobber
+  the real update);
 * table dtype f32 with row width % 128 == 0 (Mosaic lane-tiling).
 """
 
@@ -33,18 +35,25 @@ _TILE = 1024
 _WINDOW = 128
 
 
-def _scatter_add_kernel(ids_ref, deltas_ref, table_in_ref, table_ref, scratch, rsems, wsems):
+def _scatter_add_kernel(
+    ids_ref, deltas_ref, table_in_ref, table_ref, scratch, rsems, wsems,
+    *, num_rows: int,
+):
     # table_in_ref is the aliased input ref (same buffer as table_ref).
     del table_in_ref
 
+    def safe_id(k):
+        # Clamp for address computation; pad entries never start a DMA.
+        return jnp.minimum(ids_ref[k], num_rows - 1)
+
     def read_copy(k, slot):
         return pltpu.make_async_copy(
-            table_ref.at[ids_ref[k]], scratch.at[slot], rsems.at[slot]
+            table_ref.at[safe_id(k)], scratch.at[slot], rsems.at[slot]
         )
 
     def write_copy(k, slot):
         return pltpu.make_async_copy(
-            scratch.at[slot], table_ref.at[ids_ref[k]], wsems.at[slot]
+            scratch.at[slot], table_ref.at[safe_id(k)], wsems.at[slot]
         )
 
     n_chunks = _TILE // _WINDOW
@@ -52,17 +61,23 @@ def _scatter_add_kernel(ids_ref, deltas_ref, table_in_ref, table_ref, scratch, r
         base = c * _WINDOW
 
         def start_reads(j, _):
-            read_copy(base + j, j).start()
+            @pl.when(ids_ref[base + j] < num_rows)
+            def _():
+                read_copy(base + j, j).start()
             return 0
 
         def rmw(j, _):
-            read_copy(base + j, j).wait()
-            scratch[j] = scratch[j] + deltas_ref[base + j]
-            write_copy(base + j, j).start()
+            @pl.when(ids_ref[base + j] < num_rows)
+            def _():
+                read_copy(base + j, j).wait()
+                scratch[j] = scratch[j] + deltas_ref[base + j]
+                write_copy(base + j, j).start()
             return 0
 
         def drain(j, _):
-            write_copy(base + j, j).wait()
+            @pl.when(ids_ref[base + j] < num_rows)
+            def _():
+                write_copy(base + j, j).wait()
             return 0
 
         jax.lax.fori_loop(0, _WINDOW, start_reads, 0)
@@ -80,8 +95,9 @@ def scatter_add_rows(
 ) -> jnp.ndarray:
     """table[ids[k]] += deltas[k], in place (table is donated/aliased).
 
-    ids: (M,) int32, unique among real entries; padding -> 0 with zero
-    delta. deltas: (M, d) matching table dtype. d % 128 == 0, f32.
+    ids: (M,) int32, unique among real entries; padding uses the sentinel
+    id == table.shape[0] (skipped). deltas: (M, d) matching table dtype.
+    d % 128 == 0, f32.
     """
     n, d = table.shape
     if d % 128 != 0 or table.dtype != jnp.float32:
@@ -89,12 +105,15 @@ def scatter_add_rows(
     m = ids.shape[0]
     m_pad = -(-m // _TILE) * _TILE
     if m_pad != m:
-        ids = jnp.concatenate([ids, jnp.zeros((m_pad - m,), ids.dtype)])
+        ids = jnp.concatenate(
+            [ids, jnp.full((m_pad - m,), n, ids.dtype)]
+        )
         deltas = jnp.concatenate(
             [deltas, jnp.zeros((m_pad - m, d), deltas.dtype)]
         )
+    kernel = functools.partial(_scatter_add_kernel, num_rows=n)
     return pl.pallas_call(
-        _scatter_add_kernel,
+        kernel,
         grid=(m_pad // _TILE,),
         in_specs=[
             pl.BlockSpec((_TILE,), lambda i: (i,), memory_space=pltpu.SMEM),

@@ -44,8 +44,8 @@ def test_scatter_add_rows_interpret():
     table = rng.normal(size=(n, d)).astype(np.float32)
     ids = rng.choice(n, size=m, replace=False).astype(np.int32)  # unique
     deltas = rng.normal(size=(m, d)).astype(np.float32)
-    # mix in zero-delta padding rows pointing at row 0
-    ids_p = np.concatenate([ids, np.zeros(56, np.int32)])
+    # mix in padding rows (sentinel id == n, skipped by the kernel)
+    ids_p = np.concatenate([ids, np.full(56, n, np.int32)])
     deltas_p = np.concatenate([deltas, np.zeros((56, d), np.float32)])
     got = np.asarray(
         scatter_add_rows(
