@@ -44,6 +44,12 @@ def main(argv=None) -> None:
         "--epochs", type=int, default=None, help="override config epochs"
     )
     parser.add_argument("--checkpoint-dir", type=str, default=None)
+    parser.add_argument(
+        "--log-file",
+        type=str,
+        default=None,
+        help="append JSONL training/eval events (loss, lr, epoch time, metrics)",
+    )
     args = parser.parse_args(argv)
 
     cfg, ds_cfg = load_config(args.config)
@@ -106,11 +112,21 @@ def main(argv=None) -> None:
     else:
         ckpt = None
 
+    from heat_tpu.utils.logging import MetricsLogger
+
+    mlog = MetricsLogger(args.log_file)
     for epoch in range(engine.epoch, cfg.epochs):
         t0 = time.time()
         loss = engine.train_one_epoch()
         dt = time.time() - t0
         print(f"epoch: {epoch}; loss: {loss:.6f}; epoch_time: {dt:.3f}s")
+        mlog.log(
+            "epoch",
+            epoch=epoch,
+            loss=loss,
+            lr=float(engine.state.lr),
+            epoch_time_s=dt,
+        )
         if ckpt is not None:
             ckpt.save(engine)
         if epoch > 0 and epoch % cfg.eval_interval == 0:
@@ -119,8 +135,11 @@ def main(argv=None) -> None:
                 "[Metrics] "
                 + " - ".join(f"{k}: {v:.6f}" for k, v in metrics.items())
             )
+            mlog.log("eval", epoch=epoch, **metrics)
 
     metrics = engine.evaluate()
+    mlog.log("final_eval", epoch=cfg.epochs, **metrics)
+    mlog.close()
     print(json.dumps({"final_metrics": metrics}))
 
 

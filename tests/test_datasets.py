@@ -50,6 +50,22 @@ def test_shard_by_user_range_rebases_ids():
     assert s1.num_items == 10
 
 
+def test_binary_cache_roundtrip(tmp_path):
+    ds = ClickDataset.from_user_items(
+        [[5, 3], [], [1, 2, 3, 4, 6]], max_his=4, num_items=10
+    )
+    p = str(tmp_path / "cache.npz")
+    ds.save(p)
+    back = ClickDataset.load(p)
+    np.testing.assert_array_equal(back.pairs, ds.pairs)
+    np.testing.assert_array_equal(back.his_items, ds.his_items)
+    np.testing.assert_array_equal(back.masks, ds.masks)
+    assert back.num_items == 10 and back.max_his == 4
+    assert [list(x) for x in back.user_items] == [
+        list(x) for x in ds.user_items
+    ]
+
+
 def test_synthetic_dataset_shapes():
     train, test = synthetic_click_dataset(
         num_users=50, num_items=200, clicks_per_user=12, max_his=8, seed=3
