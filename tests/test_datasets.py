@@ -1,6 +1,7 @@
 """Dataset parsing, history construction, and user-range sharding."""
 
 import numpy as np
+import pytest
 
 from heat_tpu.data.datasets import ClickDataset, shard_by_user_range
 from heat_tpu.data.synthetic import synthetic_click_dataset
@@ -48,6 +49,40 @@ def test_shard_by_user_range_rebases_ids():
     np.testing.assert_array_equal(s1.pairs[:, 1], [3, 4])
     # item space inherited globally (datasets.py:159).
     assert s1.num_items == 10
+
+
+def test_native_parser_fuzz(tmp_path):
+    """Native parser matches the python parser on messy inputs: CRLF,
+    trailing separators, empty lines, duplicate users (last wins), gaps in
+    user ids, large random content."""
+    pytest.importorskip("heat_tpu.native")
+    from heat_tpu.data.datasets import _parse_lines_numpy
+    from heat_tpu.native import parse_click_file
+
+    rng = np.random.default_rng(3)
+    lines = []
+    for u in rng.permutation(200):  # shuffled user order
+        if rng.random() < 0.1:
+            continue  # gaps in the id space
+        items = rng.integers(0, 5000, rng.integers(0, 30))
+        sep = " "
+        line = sep.join([str(u)] + [str(i) for i in items])
+        if rng.random() < 0.2:
+            line += " "  # trailing separator
+        if rng.random() < 0.2:
+            line += "\r"  # CRLF
+        lines.append(line)
+        if rng.random() < 0.05:
+            lines.append("")  # empty line
+        if rng.random() < 0.05:
+            lines.append(lines[-1] if lines[-1] else line)  # duplicate
+    p = tmp_path / "messy.txt"
+    p.write_text("\n".join(lines) + "\n")
+    native = parse_click_file(str(p))
+    py = _parse_lines_numpy(str(p), " ")
+    assert len(native) == len(py)
+    for a, b in zip(native, py):
+        assert list(a) == list(b)
 
 
 def test_binary_cache_roundtrip(tmp_path):
