@@ -358,7 +358,9 @@ class Engine:
         metrics = list(metrics if metrics is not None else self.cfg.metrics)
         max_k = max(parse_metric(m)[1] for m in metrics)
         if self._multiprocess:
-            return self._evaluate_multiprocess(metrics, max_k, user_tile)
+            return self._evaluate_multiprocess(
+                metrics, max_k, user_tile, aggregate_users
+            )
         user_emb = self.state.user_emb
         if aggregate_users:
             means = compute_user_means(
@@ -383,7 +385,11 @@ class Engine:
         return evaluate_metrics(metrics, top_ids, self.test_data.user_items)
 
     def _evaluate_multiprocess(
-        self, metrics: Sequence[str], max_k: int, user_tile: int
+        self,
+        metrics: Sequence[str],
+        max_k: int,
+        user_tile: int,
+        aggregate_users: bool = False,
     ) -> dict[str, float]:
         """Per-host ranking eval + exact cross-host metric averaging.
 
@@ -397,7 +403,15 @@ class Engine:
         item_emb = multihost_utils.process_allgather(
             self.state.item_emb, tiled=True
         )
-        user_local = _process_local_rows(self.state.user_emb)
+        user_arr = self.state.user_emb
+        if aggregate_users:
+            means = compute_user_means(
+                self.state.item_emb, self.his_items, self.his_masks
+            )
+            user_arr = aggregate_history(
+                user_arr, means, self.state.w0, self.cfg.gamma
+            )
+        user_local = _process_local_rows(user_arr)
         start, _ = user_range_bounds(
             self.cfg.num_users, jax.process_count(), jax.process_index()
         )

@@ -65,6 +65,8 @@ def worker(num_procs: int, proc_id: int, port: int) -> None:
     engine = Engine(cfg, local_train, local_test, mesh=mesh)
     losses = [engine.train_one_epoch() for _ in range(4)]
     m = engine.evaluate()
+    m_agg = engine.evaluate(aggregate_users=True)
+    assert 0.0 <= m_agg["Recall(k=20)"] <= 1.0
     print(
         f"proc {proc_id}: losses {losses[0]:.5f} -> {losses[-1]:.5f} "
         f"recall@20 {m['Recall(k=20)']:.4f}",
