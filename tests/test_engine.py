@@ -131,6 +131,9 @@ def test_lr_schedule_applied(data):
 @pytest.mark.parametrize(
     "variant",
     [
+        # gamma=1.0 disables behavior aggregation -> pure matrix
+        # factorization (the reference's Model base without SimpleX).
+        dict(gamma=1.0),
         dict(loss="CosineContrastiveLoss", l_r=0.02),
         dict(loss="SigmoidPairwiseLoss"),
         # dot similarity on sigma=1e-2 init yields ~1e-3 scores, so grads
@@ -139,7 +142,7 @@ def test_lr_schedule_applied(data):
         dict(l2_enabled=True, l2=1e-4),
         dict(ignore_pos=False),
     ],
-    ids=["ccl", "sigmoid", "dot", "l2", "no_ignore_pos"],
+    ids=["pure_mf", "ccl", "sigmoid", "dot", "l2", "no_ignore_pos"],
 )
 def test_loss_and_similarity_variants_train(data, variant):
     train, test = data
