@@ -72,3 +72,42 @@ def sample_losses(
     if cfg.loss == "SigmoidPairwiseLoss":
         return sigmoid_pairwise_loss(s_up, s_un, cfg.score_mul)
     raise ValueError(f"unknown loss {cfg.loss!r}")
+
+
+def sample_losses_weighted(
+    s_up: jnp.ndarray,
+    S: jnp.ndarray,
+    counts: jnp.ndarray,
+    num_negs: int,
+    cfg: CFConfig,
+) -> jnp.ndarray:
+    """Losses over tile scores with sampled multiplicities.
+
+    Every supported loss depends on the negatives only through a sum of
+    elementwise terms, so a batch row's K sampled negative scores — a
+    multiset of tile scores — can be evaluated as the full (B, T) tile
+    score matrix weighted by ``counts[b, t]`` (how many of row b's K draws
+    hit tile slot t; sum_t counts[b, t] == K). Exactly the same multiset as
+    gathering the sampled scores, with no per-draw gather/scatter.
+
+    Args:
+      s_up: (B,) positive scores.
+      S: (B, T) user x tile scores (ops/similarity.py tile_scores).
+      counts: (B, T) draw multiplicities, float.
+      num_negs: K (the reference divides per-negative means by K, not by T).
+    """
+    if cfg.loss == "PairwiseLogisticLoss":
+        sc = (S - s_up[:, None]) * cfg.score_mul
+        # logsumexp over {0} ∪ the sampled multiset, weighted by counts
+        # (matrix_factorization.cpp:101-109's max-subtraction, batched).
+        m = jnp.max(jnp.where(counts > 0, sc, -jnp.inf), axis=1)
+        m = jnp.maximum(m, 0.0)
+        sumexp = jnp.sum(counts * jnp.exp(sc - m[:, None]), axis=1)
+        return m + jnp.log(jnp.exp(-m) + sumexp)
+    if cfg.loss == "CosineContrastiveLoss":
+        neg = jnp.sum(counts * jax.nn.relu(S - cfg.ccl_margin), axis=1)
+        return (1.0 - s_up) + neg * (cfg.ccl_neg_weight / num_negs)
+    if cfg.loss == "SigmoidPairwiseLoss":
+        sc = (S - s_up[:, None]) * cfg.score_mul
+        return jnp.sum(counts * jax.nn.softplus(sc), axis=1) / num_negs
+    raise ValueError(f"unknown loss {cfg.loss!r}")

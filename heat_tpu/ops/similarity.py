@@ -57,3 +57,51 @@ def pair_scores(
     s_up = up * r_u * _safe_rnorm(pp)
     s_un = un * r_u[:, None] * _safe_rnorm(nn)
     return s_up, s_un
+
+
+def tile_scores(
+    u: jnp.ndarray,
+    p: jnp.ndarray,
+    tile_rows: jnp.ndarray,
+    *,
+    similarity: str = "cosine",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Score (user, positive) pairs and users against a whole negative tile.
+
+    The tile sampler draws all of a batch's negatives from one small tile
+    (T rows), so instead of gathering a (B, K, d) tensor of sampled rows we
+    score every user against every tile row with one (B, d) x (d, T) MXU
+    matmul; the per-sample negative scores are then the (B, T) matrix read
+    through the sampled multiplicities (ops/losses.py weighted variants).
+    Mathematically identical to pair_scores over the gathered rows — same
+    dots, same clamped norms — but with no (B, K)-indexed gathers on the
+    forward or scatter on the backward (the tile gradient is the transposed
+    matmul).
+
+    Args:
+      u: (B, d) aggregated user embeddings.
+      p: (B, d) positive item embeddings.
+      tile_rows: (T, d) the tile's item embeddings.
+
+    Returns:
+      (s_up, S): (B,) positive scores and (B, T) user x tile scores.
+    """
+    compute_dtype = jnp.promote_types(u.dtype, jnp.float32)
+    u = u.astype(compute_dtype)
+    p = p.astype(compute_dtype)
+    t = tile_rows.astype(compute_dtype)
+
+    up = jnp.einsum("bd,bd->b", u, p, preferred_element_type=compute_dtype)
+    S = jnp.einsum("bd,td->bt", u, t, preferred_element_type=compute_dtype)
+    if similarity == "dot":
+        return up, S
+    r_u = _safe_rnorm(
+        jnp.einsum("bd,bd->b", u, u, preferred_element_type=compute_dtype)
+    )
+    r_t = _safe_rnorm(
+        jnp.einsum("td,td->t", t, t, preferred_element_type=compute_dtype)
+    )
+    s_up = up * r_u * _safe_rnorm(
+        jnp.einsum("bd,bd->b", p, p, preferred_element_type=compute_dtype)
+    )
+    return s_up, S * r_u[:, None] * r_t[None, :]

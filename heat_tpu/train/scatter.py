@@ -90,12 +90,13 @@ def apply_row_updates(
 
     ids == table.shape[0] are padding and are dropped.
     """
-    # Measured on v5e (in-scan, AmazonBooks shapes): the dense path wins
-    # when the touched-id count is a sizable fraction of the table; the
-    # sort path wins when ids are sparse relative to the table (it avoids
-    # the O(rows) passes) and is mandatory for huge tables.
-    sparse_touch = ids.shape[0] * 8 < table.shape[0]
-    if table.shape[0] <= DENSE_ROWS_THRESHOLD and not sparse_touch:
+    # Measured on v5e (in-scan, AmazonBooks shapes, 400-iter runs): the
+    # dense path wins for every table that fits the threshold — even at
+    # ~10% touched-id density (tile path: 8.7k ids on the 91.6k-row item
+    # table, 0.48 vs 0.66 ms/step) the sort + per-row scatter costs more
+    # than the dense passes. The sort path is for huge tables only, where
+    # an O(rows) pass per step is unacceptable.
+    if table.shape[0] <= DENSE_ROWS_THRESHOLD:
         return _apply_row_updates_dense(
             table, ids, grads, lr=lr, clip_val=clip_val, gacc=gacc,
             decay=decay, l2=l2,

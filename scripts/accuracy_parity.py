@@ -1,0 +1,73 @@
+"""Headline-scale accuracy parity: tile+fast vs uniform+exact.
+
+Trains the AmazonBooks geometry (52,643 users x 91,599 items, d=64, 16
+negatives) on synthetic planted clusters for 5 epochs in two modes and
+prints both metric sets:
+
+* fast: RandomTile negative sampler + per-epoch history-mean caching —
+  the bench.py headline configuration;
+* exact: uniform sampler + the reference's per-step history recompute.
+
+The fast mode's approximations (tile working set, means staleness) must
+not cost ranking accuracy — this is the claim behind the README results
+table and the bench headline. Runs on whatever jax.devices() provides
+(~5 min on one v5e chip, dominated by eval compiles).
+
+Usage: python scripts/accuracy_parity.py [--users U] [--items I] [--epochs N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from heat_tpu.config import CFConfig  # noqa: E402
+from heat_tpu.data.synthetic import synthetic_click_dataset  # noqa: E402
+from heat_tpu.train.engine import Engine  # noqa: E402
+
+METRICS = ["Recall(k=20)", "Recall(k=50)", "NDCG(k=20)", "NDCG(k=50)"]
+
+
+def run(mode: str, train, test, epochs: int) -> dict:
+    if mode == "fast":
+        kw = dict(
+            neg_sampler=1, tile_size=512, refresh_interval=8192,
+            his_refresh="subepoch",
+        )
+    else:
+        kw = dict(neg_sampler=0, his_refresh="step")
+    cfg = CFConfig(
+        emb_dim=64, num_negs=16, max_his=100, batch_size=8192,
+        l_r=0.01, clip_val=1.0, milestones=[10], seed=2022,
+        metrics=METRICS, **kw,
+    )
+    eng = Engine(cfg, train, test)
+    losses = [round(eng.train_one_epoch(), 4) for _ in range(epochs)]
+    m = eng.evaluate()
+    return {"losses": losses, **{k: round(v, 4) for k, v in m.items()}}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--users", type=int, default=52_643)
+    ap.add_argument("--items", type=int, default=91_599)
+    ap.add_argument("--epochs", type=int, default=5)
+    args = ap.parse_args()
+
+    train, test = synthetic_click_dataset(
+        num_users=args.users, num_items=args.items, max_his=100, seed=7
+    )
+    out = {}
+    for mode in ("fast", "exact"):
+        out[mode] = run(mode, train, test, args.epochs)
+        print(json.dumps({mode: out[mode]}), flush=True)
+    ratio = out["fast"]["Recall(k=20)"] / max(out["exact"]["Recall(k=20)"], 1e-9)
+    print(json.dumps({"recall20_fast_over_exact": round(ratio, 4)}))
+
+
+if __name__ == "__main__":
+    main()
