@@ -87,22 +87,42 @@ def time_epochs(
 
 
 def time_eval(dataset: ClickDataset) -> float:
-    """Full AmazonBooks-scale ranking eval (tiled sim + exact top-50).
-
-    The mask tensors are uploaded once via TiledEvaluator; the timing
-    covers the steady-state evaluation (device compute + ids download)."""
+    """Full AmazonBooks-scale ranking eval, end to end: tiled sim GEMM +
+    exact top-50 + all-metric evaluation on device (mask and truth tensors
+    are uploaded once; only the metric scalars reach the host)."""
     import jax
 
     from heat_tpu.evaluation.evaluator import TiledEvaluator
+    from heat_tpu.evaluation.metrics import (
+        evaluate_metrics_device,
+        pad_truth,
+    )
 
     k1, k2 = jax.random.split(jax.random.key(1))
     user_emb = jax.random.normal(k1, (NUM_USERS, EMB_DIM))
     item_emb = jax.random.normal(k2, (NUM_ITEMS, EMB_DIM))
+    rng = np.random.default_rng(1)
+    truth, lengths = pad_truth(
+        [rng.integers(0, NUM_ITEMS, 10) for _ in range(NUM_USERS)]
+    )
+    truth, lengths = jax.numpy.asarray(truth), jax.numpy.asarray(lengths)
+    metrics = ["Recall(k=20)", "Recall(k=50)", "NDCG(k=20)", "NDCG(k=50)"]
     ev = TiledEvaluator(dataset.pairs, NUM_USERS)
-    ev.topk(user_emb, item_emb, 50)  # compile + mask upload
-    t0 = time.perf_counter()
-    ev.topk(user_emb, item_emb, 50)
-    return time.perf_counter() - t0
+
+    def run(exact: bool):
+        _, ids = ev.topk(
+            user_emb, item_emb, 50, device=True, exact=exact,
+            recall_target=0.99,
+        )
+        return evaluate_metrics_device(metrics, ids, truth, lengths)
+
+    out = []
+    for exact in (True, False):
+        run(exact)  # compile + mask/truth upload
+        t0 = time.perf_counter()
+        run(exact)
+        out.append(time.perf_counter() - t0)
+    return tuple(out)
 
 
 def main() -> None:
@@ -111,8 +131,19 @@ def main() -> None:
         "subepoch", dataset, neg_sampler=1, tile_size=512,
         refresh_interval=8192,
     )
+    # Throughput mode: batch 16384 with tile refresh retuned to the batch
+    # (the paper's Alg. 1 retunes tile/refresh per hardware). ~3% lower
+    # Recall@20 than the exact-parity headline above on the planted-cluster
+    # check, so reported separately.
+    global BATCH
+    BATCH = 16384
+    fast16k_s, _ = time_epochs(
+        "subepoch", dataset, reps=2, neg_sampler=1, tile_size=512,
+        refresh_interval=16384,
+    )
+    BATCH = 8192
     exact_s, _ = time_epochs("step", dataset)
-    eval_s = time_eval(dataset)
+    eval_s, eval_approx_s = time_eval(dataset)
     result = {
         "metric": "amazonbooks_epoch_time",
         "value": round(fast_s, 4),
@@ -121,7 +152,10 @@ def main() -> None:
         "interactions_per_sec": round(TRAIN_SIZE / fast_s),
         "exact_mode_s": round(exact_s, 4),
         "exact_vs_baseline": round(BASELINE_EPOCH_S / exact_s, 2),
+        "throughput16k_s": round(fast16k_s, 4),
+        "throughput16k_vs_baseline": round(BASELINE_EPOCH_S / fast16k_s, 2),
         "eval_topk50_s": round(eval_s, 4),
+        "eval_topk50_approx99_s": round(eval_approx_s, 4),
         "times": [round(t, 4) for t in fast_times],
     }
     import jax

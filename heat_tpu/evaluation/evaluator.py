@@ -30,34 +30,60 @@ import numpy as np
 NEG_INF = jnp.finfo(jnp.float32).min
 
 
-@functools.partial(jax.jit, static_argnames=("k", "exact"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "exact", "recall_target")
+)
 def _topk_all_tiles(
     user_tiles: jnp.ndarray,  # (n_tiles, T, d)
     item_emb: jnp.ndarray,    # (I, d)
     mask_u: jnp.ndarray,      # (n_tiles, P) tile-local user rows (>=T drops)
     mask_i: jnp.ndarray,      # (n_tiles, P) item ids
+    mask_bits: jnp.ndarray | None,  # (n_tiles, T, W) u32 packed, or None
     *,
     k: int,
     exact: bool = True,
+    recall_target: float = 0.95,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     item_t = item_emb.astype(jnp.float32).T
+    num_items = item_emb.shape[0]
+    shifts = jnp.arange(32, dtype=jnp.uint32)
 
     def body(carry, xs):
-        u_tile, mu, mi = xs
+        u_tile, mu, mi, bits = xs
         sim = jnp.dot(
             u_tile.astype(jnp.float32),
             item_t,
             preferred_element_type=jnp.float32,
         )
-        sim = sim.at[mu, mi].set(NEG_INF, mode="drop")
+        if bits is None:
+            # Generic path: per-pair scatter (TPU scatters pay per element
+            # — ~150 ns each on v5e, so this dominates eval for dense
+            # click matrices; the bitmask path below is preferred).
+            sim = sim.at[mu, mi].set(NEG_INF, mode="drop")
+        else:
+            # Packed-bitmask path: one fused elementwise pass — unpack the
+            # static train-pair bitmask on the fly and select -inf, with no
+            # scatter and no materialized unpacked mask.
+            t_rows, w = sim.shape[0], bits.shape[1]
+            pad = w * 32 - num_items
+            simp = jnp.concatenate(
+                [sim, jnp.full((t_rows, pad), NEG_INF, jnp.float32)],
+                axis=1,
+            ).reshape(t_rows, w, 32)
+            masked = jnp.where(
+                (bits[:, :, None] >> shifts) & 1 == 1, NEG_INF, simp
+            )
+            sim = masked.reshape(t_rows, w * 32)
         if exact:
             out = jax.lax.top_k(sim, k)
         else:
-            out = jax.lax.approx_max_k(sim, k, recall_target=0.95)
+            out = jax.lax.approx_max_k(
+                sim, k, recall_target=recall_target
+            )
         return carry, out
 
     _, (scores, ids) = jax.lax.scan(
-        body, None, (user_tiles, mask_u, mask_i)
+        body, None, (user_tiles, mask_u, mask_i, mask_bits)
     )
     return scores, ids
 
@@ -82,27 +108,62 @@ def _pairs_by_tile(
     ]
 
 
+# Packed train-mask bitmaps are used when they fit this budget; above it
+# the evaluator falls back to per-pair scatter masking.
+MASK_BITS_MAX_BYTES = 1 << 30
+
+
 class TiledEvaluator:
     """Reusable tiled evaluator: the train-pair mask tensors are built and
     uploaded once (they are static per dataset), so repeated evaluations
     only move (U, k) results. On tunneled dev setups host<->device transfers
     run at MB/s, so this caching is the difference between ~1 s and ~20 s
-    per evaluation at AmazonBooks scale."""
+    per evaluation at AmazonBooks scale.
+
+    The train mask itself is stored as a packed (U, ceil(I/32)) bitmap when
+    it fits MASK_BITS_MAX_BYTES: applying it is one fused elementwise pass
+    per tile, versus a per-pair scatter that costs ~150 ns/element on v5e
+    (~0.4 s for AmazonBooks' 2.4M pairs)."""
 
     def __init__(
         self,
         train_pairs: np.ndarray | None,
         num_users: int,
         user_tile: int = 1024,
+        *,
+        num_items: int | None = None,
     ):
         self.num_users = num_users
         self.user_tile = user_tile
         self.num_tiles = -(-num_users // user_tile)
         if train_pairs is None:
             train_pairs = np.zeros((0, 2), np.int32)
-        buckets = _pairs_by_tile(
-            np.asarray(train_pairs), num_users, user_tile
-        )
+        train_pairs = np.asarray(train_pairs)
+        if num_items is None:
+            num_items = (
+                int(train_pairs[:, 1].max()) + 1 if len(train_pairs) else 1
+            )
+        self._mask_items = num_items
+        words = -(-num_items // 32)
+        bits_bytes = self.num_tiles * user_tile * words * 4
+        if bits_bytes <= MASK_BITS_MAX_BYTES:
+            bits = np.zeros(
+                (self.num_tiles * user_tile, words), np.uint32
+            )
+            if len(train_pairs):
+                np.bitwise_or.at(
+                    bits,
+                    (train_pairs[:, 0], train_pairs[:, 1] >> 5),
+                    np.uint32(1) << (train_pairs[:, 1] & 31).astype(np.uint32),
+                )
+            self.mask_bits = jnp.asarray(
+                bits.reshape(self.num_tiles, user_tile, words)
+            )
+            self.mask_u = jnp.zeros((self.num_tiles, 1), jnp.int32)
+            self.mask_i = jnp.zeros((self.num_tiles, 1), jnp.int32)
+            return
+        self.mask_bits = None
+        buckets = _pairs_by_tile(train_pairs, num_users, user_tile)
         pmax = max(1, max(len(b) for b in buckets))
         mask_u = np.full((self.num_tiles, pmax), user_tile, np.int32)
         mask_i = np.zeros((self.num_tiles, pmax), np.int32)
@@ -121,9 +182,36 @@ class TiledEvaluator:
         *,
         exact: bool = True,
         return_scores: bool = False,
+        device: bool = False,
+        recall_target: float = 0.95,
     ):
+        """Ranked top-k ids per user (train items masked).
+
+        device=True keeps the ids on device (a (U, k) jnp array) for
+        on-device metric evaluation — over a tunneled device link the (U, k)
+        id download costs far more than the whole ranking compute.
+        exact=False uses the TPU-native approx_max_k partial reduce at the
+        given recall_target (0.99 is ~6x faster than exact on v5e with ~1%
+        expected misses; 0.95 is ~13x).
+        """
         user_emb = jnp.asarray(user_emb)
         item_emb = jnp.asarray(item_emb)
+        if self.mask_bits is not None:
+            w_needed = -(-int(item_emb.shape[0]) // 32)
+            if self.mask_bits.shape[2] < w_needed:
+                # Item space wider than the pairs implied: pad with zero
+                # words once and keep the widened bitmap cached.
+                pad = jnp.zeros(
+                    (
+                        self.num_tiles,
+                        self.user_tile,
+                        w_needed - self.mask_bits.shape[2],
+                    ),
+                    jnp.uint32,
+                )
+                self.mask_bits = jnp.concatenate(
+                    [self.mask_bits, pad], axis=2
+                )
         pad_rows = self.num_tiles * self.user_tile - self.num_users
         if pad_rows:
             user_emb = jnp.concatenate(
@@ -134,16 +222,25 @@ class TiledEvaluator:
             )
         user_tiles = user_emb.reshape(self.num_tiles, self.user_tile, -1)
         scores, ids = _topk_all_tiles(
-            user_tiles, item_emb, self.mask_u, self.mask_i, k=k, exact=exact
+            user_tiles,
+            item_emb,
+            self.mask_u,
+            self.mask_i,
+            self.mask_bits,
+            k=k,
+            exact=exact,
+            recall_target=recall_target,
         )
-        ids = (
-            np.asarray(ids)
-            .reshape(self.num_tiles * self.user_tile, k)[: self.num_users]
-            .astype(np.int32)
-        )
+        ids = ids.reshape(self.num_tiles * self.user_tile, k)[
+            : self.num_users
+        ]
+        if not device:
+            ids = np.asarray(ids).astype(np.int32)
         if not return_scores:
             return None, ids
-        scores = np.asarray(scores).reshape(-1, k)[: self.num_users]
+        scores = scores.reshape(-1, k)[: self.num_users]
+        if not device:
+            scores = np.asarray(scores)
         return scores, ids
 
 

@@ -163,6 +163,138 @@ def evaluate_metrics(
     return out
 
 
+def pad_truth(
+    true_items: Sequence[Sequence[int]],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pack ragged truth lists into a (U, L) int32 tensor padded with -1,
+    plus (U,) lengths — the device-resident form for on-device metrics
+    (uploaded once per dataset, like the evaluator's train-mask tensors)."""
+    lengths = np.asarray([len(t) for t in true_items], np.int32)
+    pad = max(1, int(lengths.max()) if len(lengths) else 1)
+    truth = np.full((len(true_items), pad), -1, np.int32)
+    for u, t in enumerate(true_items):
+        if len(t):
+            truth[u, : len(t)] = np.asarray(t, np.int32)
+    return truth, lengths
+
+
+def _device_metric_values(name: str, k: int, hits, num_true):
+    """jnp mirror of the host metric formulas (same idiosyncrasies)."""
+    import jax.numpy as jnp
+
+    h = hits[:, :k]
+    ranks = jnp.arange(k, dtype=jnp.float32)
+    if name == "Recall":
+        return h.sum(1) / (num_true + 1e-12)
+    if name == "NormalizedRecall":
+        return h.sum(1) / jnp.minimum(float(k), num_true + 1e-12)
+    if name == "Precision":
+        return h.sum(1) / (k + 1e-12)
+    if name == "F1":
+        p = h.sum(1) / (k + 1e-12)
+        r = h.sum(1) / (num_true + 1e-12)
+        return 2 * p * r / (p + r + 1e-12)
+    discounts = 1.0 / jnp.log(2.0 + ranks)
+    if name == "DCG":
+        return h @ discounts
+    if name == "NDCG":
+        dcg = h @ discounts
+        n_ideal = jnp.minimum(float(k), num_true).astype(jnp.int32)
+        cum = jnp.concatenate(
+            [jnp.zeros((1,), jnp.float32), jnp.cumsum(discounts)]
+        )
+        return dcg / (cum[n_ideal] + 1e-12)
+    if name == "MRR":
+        return h @ (1.0 / (1.0 + ranks))
+    if name == "HitRate":
+        return (h.sum(1) > 0).astype(jnp.float32)
+    if name == "MAP":
+        pos = jnp.cumsum(h, axis=1)
+        prec = (pos * h) / (1.0 + ranks)
+        return prec.sum(1) / (pos[:, -1] + 1e-12)
+    raise NotImplementedError(name)
+
+
+def evaluate_metrics_device(
+    metrics: Sequence[str],
+    top_k_items,
+    truth,
+    truth_len,
+) -> dict[str, float]:
+    """On-device metric evaluation: only len(metrics) scalars reach the host.
+
+    The host path (:func:`evaluate_metrics`) transfers the full (U, k) id
+    matrix, which over a tunneled device link costs seconds at AmazonBooks
+    scale; this path uploads the padded truth once (see :func:`pad_truth`)
+    and reduces everything on device with the identical formulas.
+
+    Args:
+      top_k_items: (U, >=max_k) DEVICE array of ranked ids (train-masked).
+      truth / truth_len: :func:`pad_truth` outputs (device or host arrays).
+    """
+    import jax.numpy as jnp
+
+    parsed = tuple(parse_metric(m) for m in metrics)
+    max_k = max(k for _, k in parsed)
+    if top_k_items.shape[1] < max_k:
+        raise ValueError(
+            f"top_k_items has {top_k_items.shape[1]} ranks < max k {max_k}"
+        )
+    vals = np.asarray(
+        _device_metrics_jit(
+            jnp.asarray(top_k_items)[:, :max_k],
+            jnp.asarray(truth),
+            jnp.asarray(truth_len),
+            parsed,
+        )
+    )
+    return {m: float(v) for m, v in zip(metrics, vals)}
+
+
+def _device_metrics_compute(top, truth, truth_len, specs):
+    import jax.numpy as jnp
+
+    hits = jnp.any(
+        top[:, :, None] == truth[:, None, :], axis=2
+    ).astype(jnp.float32)
+    num_true = truth_len.astype(jnp.float32)
+    valid = num_true > 0
+    denom = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    vals = [
+        jnp.sum(
+            jnp.where(valid, _device_metric_values(n, k, hits, num_true), 0.0)
+        )
+        / denom
+        for n, k in specs
+    ]
+    return jnp.stack(vals)
+
+
+def _make_device_metrics_jit():
+    import functools
+
+    import jax
+
+    return functools.partial(jax.jit, static_argnames=("specs",))(
+        _device_metrics_compute
+    )
+
+
+class _LazyJit:
+    """Defer jax import/jit wrapping until first use (module stays
+    importable without touching jax)."""
+
+    _fn = None
+
+    def __call__(self, *args):
+        if _LazyJit._fn is None:
+            _LazyJit._fn = _make_device_metrics_jit()
+        return _LazyJit._fn(*args)
+
+
+_device_metrics_jit = _LazyJit()
+
+
 def evaluate_sim_matrix(
     metrics: Sequence[str],
     sim_matrix: np.ndarray,

@@ -29,7 +29,12 @@ import numpy as np
 from heat_tpu.config import CFConfig, SGD_MODE_ACCUM
 from heat_tpu.data.datasets import ClickDataset, user_range_bounds
 from heat_tpu.evaluation.evaluator import TiledEvaluator, full_sim_matrix
-from heat_tpu.evaluation.metrics import evaluate_metrics, parse_metric
+from heat_tpu.evaluation.metrics import (
+    evaluate_metrics,
+    evaluate_metrics_device,
+    pad_truth,
+    parse_metric,
+)
 from heat_tpu.models.state import (
     TrainState,
     init_train_state,
@@ -343,6 +348,8 @@ class Engine:
         metrics: Optional[Sequence[str]] = None,
         user_tile: int = 1024,
         aggregate_users: bool = False,
+        exact: bool = True,
+        recall_target: float = 0.99,
     ) -> dict[str, float]:
         """Tiled on-device top-k + the full metric library.
 
@@ -352,6 +359,10 @@ class Engine:
         (engine.cpp:402-451). With the default False, scoring uses the raw
         table like ``evaluate0`` (whose rows were already aggregated during
         training by the write-back).
+
+        exact=False ranks with the TPU-native approx_max_k partial reduce
+        at ``recall_target`` (~6x faster than exact top-k at 0.99 on v5e) —
+        for frequent mid-training eval; final numbers should use exact.
         """
         if self.test_data is None:
             raise ValueError("no test_data provided")
@@ -378,11 +389,24 @@ class Engine:
                     self.train_data.pairs,
                     self.cfg.num_users,
                     user_tile=user_tile,
+                    num_items=self.cfg.num_items,
+                )
+                # Truth tensors ride on device alongside the mask cache so
+                # metric evaluation never downloads the (U, k) id matrix.
+                self._truth_dev = jax.tree.map(
+                    jnp.asarray, pad_truth(self.test_data.user_items)
                 )
             _, top_ids = self._evaluator.topk(
-                user_emb, self.state.item_emb, max_k
+                user_emb,
+                self.state.item_emb,
+                max_k,
+                device=True,
+                exact=exact,
+                recall_target=recall_target,
             )
-        return evaluate_metrics(metrics, top_ids, self.test_data.user_items)
+            return evaluate_metrics_device(
+                metrics, top_ids, *self._truth_dev
+            )
 
     def _evaluate_multiprocess(
         self,
@@ -419,7 +443,10 @@ class Engine:
         if len(local_pairs):
             local_pairs[:, 0] -= start
         ev = TiledEvaluator(
-            local_pairs, user_local.shape[0], user_tile=user_tile
+            local_pairs,
+            user_local.shape[0],
+            user_tile=user_tile,
+            num_items=self.cfg.num_items,
         )
         _, top_ids = ev.topk(user_local, item_emb, max_k)
         local = evaluate_metrics(metrics, top_ids, self.test_data.user_items)

@@ -133,3 +133,33 @@ def test_sim_matrix_path_masks_train_items():
     out = evaluate_sim_matrix(["Recall(k=1)"], sim, train, true)
     # user0: item0 masked -> top1 = item1 (hit). user1: top1 = item1 (miss).
     assert out["Recall(k=1)"] == pytest.approx(0.5)
+
+
+def test_device_metrics_match_host():
+    """The on-device metric path (only scalars leave the device) must agree
+    with the host path on every metric, including users with no test
+    items (excluded from the mean)."""
+    from heat_tpu.evaluation.metrics import (
+        evaluate_metrics_device,
+        pad_truth,
+    )
+
+    rng = np.random.default_rng(5)
+    num_users, num_items = 40, 60
+    topk = np.stack(
+        [rng.choice(num_items, size=10, replace=False) for _ in range(num_users)]
+    )
+    true = [
+        list(rng.choice(num_items, size=int(n), replace=False))
+        for n in rng.integers(0, 12, num_users)
+    ]
+    specs = [
+        "Recall(k=5)", "NormalizedRecall(k=5)", "Precision(k=5)", "F1(k=5)",
+        "DCG(k=5)", "NDCG(k=5)", "MRR(k=5)", "HitRate(k=5)", "MAP(k=5)",
+        "Recall(k=10)", "NDCG(k=10)",
+    ]
+    host = evaluate_metrics(specs, topk, true)
+    truth, lengths = pad_truth(true)
+    dev = evaluate_metrics_device(specs, topk, truth, lengths)
+    for s in specs:
+        np.testing.assert_allclose(dev[s], host[s], rtol=2e-6, err_msg=s)
