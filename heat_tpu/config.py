@@ -63,7 +63,7 @@ class CFConfig:
     # --- negative sampling ----------------------------------------------
     num_negs: int = 4
     neg_sampler: int = NEG_SAMPLER_UNIFORM
-    tile_size: int = 1024       # RandomTileNegativeSampler tile (random_tile_negative_sampler.cpp:22-45)
+    tile_size: int = 1024       # RandomTileNegativeSampler tile (random_tile_negative_sampler.cpp:22-45); <= 0 auto-tunes (samplers.derive_tile_params — paper Alg. 1)
     refresh_interval: int = 2048
     ignore_pos: bool = True     # resample a draw that hits the positive
                                 # (uniform_random_negative_sampler.cpp:26-36)

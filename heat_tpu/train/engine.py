@@ -42,7 +42,7 @@ from heat_tpu.models.state import (
 )
 from heat_tpu.models.aggregator import aggregate_history
 from heat_tpu.train.optimizer import scheduled_lr
-from heat_tpu.train.samplers import init_sampler_state
+from heat_tpu.train.samplers import derive_tile_params, init_sampler_state
 from heat_tpu.train.train_step import make_epoch_fn
 from heat_tpu.utils.profiling import PhaseTimer, performance_breakdown
 
@@ -146,6 +146,10 @@ class Engine:
                 np.asarray([train_data.train_size])
             )
             cfg.train_size = int(np.sum(counts))
+        if cfg.neg_sampler == 1 and cfg.tile_size <= 0:
+            # "auto": the paper's Alg. 1 tile tuning, TPU-ified
+            # (samplers.derive_tile_params).
+            cfg.tile_size, cfg.refresh_interval = derive_tile_params(cfg)
         self.cfg = cfg
         self.train_data = train_data
         self.test_data = test_data

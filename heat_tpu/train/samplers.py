@@ -65,6 +65,53 @@ class SamplerState(struct.PyTreeNode):
     iterations: jax.Array
 
 
+# Alpha/beta working-set split of HEAT's tile-tuning algorithm (paper
+# Alg. 1): beta of the budget goes to the negative tile, alpha is reserved
+# for the streaming data.
+TILE_TUNE_ALPHA = 0.15
+TILE_TUNE_BETA = 0.85
+# Per-step budget for the (B, T) score/count working set. HEAT sizes the
+# tile to beta x last-level cache; the TPU analog is the per-step (B, T)
+# score + count matrices the fused tile path materializes — sized so XLA's
+# fusion tiles stay VMEM-friendly and HBM traffic stays a small multiple of
+# the embedding gathers. 32 MB reproduces the reference's shipped
+# tile_size=512 at the AmazonBooks config (B=8192, f32 scores + counts).
+TILE_SCORE_BUDGET_BYTES = 32 * 1024 * 1024
+# Expected draws landing on each tile slot before a refresh; ties
+# refresh_interval to tile_size the way the reference configs do
+# (tile 512 x 16 = refresh 8192 in AmazonBooks's config0.yaml).
+TILE_DRAWS_PER_SLOT = 16
+
+
+def derive_tile_params(
+    cfg: CFConfig, budget_bytes: int = TILE_SCORE_BUDGET_BYTES
+) -> tuple[int, int]:
+    """Auto-tune (tile_size, refresh_interval) — HEAT paper Alg. 1, TPU-ified.
+
+    The reference tunes the tile to fit beta = 85% of the LLC (alpha = 15%
+    reserved for streamed data) so negative reads stay cache-resident. On
+    TPU the tile's embedding rows stream from HBM either way; what the tile
+    bounds is the fused step's (B, tile) score and count matrices (two f32
+    buffers) and the (tile, d) gradient — so the tile is sized to keep
+    beta x budget for those, rounded to the 128-lane register width.
+    Refresh follows the reference configs' cadence: an expected
+    TILE_DRAWS_PER_SLOT draws per slot between refreshes, floored at one
+    batch (the on-device sampler refreshes at most once per batch).
+
+    Returns values for cfg.tile_size <= 0 ("auto"); explicit settings are
+    never overridden.
+    """
+    import math
+
+    per_elem = 2 * 4  # S and counts, f32
+    t = TILE_TUNE_BETA * budget_bytes / (per_elem * max(1, cfg.batch_size))
+    t = 1 << max(7, round(math.log2(max(2.0, t))))  # nearest power of two
+    if cfg.num_items:
+        t = min(t, max(128, 1 << int(math.log2(max(128, cfg.num_items)))))
+    refresh = max(cfg.batch_size, t * TILE_DRAWS_PER_SLOT)
+    return t, refresh
+
+
 def init_sampler_state(cfg: CFConfig, key: jax.Array) -> SamplerState:
     if cfg.neg_sampler == NEG_SAMPLER_TILE:
         tile = jax.random.randint(

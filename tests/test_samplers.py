@@ -69,3 +69,40 @@ def test_tile_refresh_on_interval_crossing():
     # batch 3 covers [128, 192): sample 128 triggers a refresh.
     _, s3 = sample_negatives(jax.random.key(8), s2, pos, cfg)
     assert not np.array_equal(np.asarray(s3.tile), t1)
+
+
+def test_derive_tile_params_auto_tuning():
+    """Alg.-1-style auto tile sizing: reproduces the reference's shipped
+    AmazonBooks tuning at its geometry, rounds to lanes, respects the item
+    count, and never fires more than one refresh per batch."""
+    from heat_tpu.train.samplers import derive_tile_params
+
+    cfg = CFConfig(
+        emb_dim=64, num_negs=16, batch_size=8192, num_items=91_599,
+        neg_sampler=1, tile_size=0,
+    )
+    t, r = derive_tile_params(cfg)
+    assert t == 512 and r == 8192  # AmazonBooks config0.yaml values
+
+    small = CFConfig(
+        emb_dim=16, num_negs=8, batch_size=256, num_items=300,
+        neg_sampler=1, tile_size=0,
+    )
+    t, r = derive_tile_params(small)
+    assert t % 128 == 0 and t <= 300
+    assert r >= small.batch_size
+
+    from heat_tpu.data.synthetic import synthetic_click_dataset
+    from heat_tpu.train.engine import Engine
+
+    train, test = synthetic_click_dataset(
+        num_users=100, num_items=400, clicks_per_user=10, max_his=4, seed=1
+    )
+    cfg = CFConfig(
+        emb_dim=16, num_negs=8, batch_size=256, neg_sampler=1, tile_size=0,
+        max_his=4,
+    )
+    eng = Engine(cfg, train, test)
+    assert eng.cfg.tile_size > 0  # auto-resolved before sampler init
+    loss = eng.train_one_epoch()
+    assert np.isfinite(loss)
