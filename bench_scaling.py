@@ -57,6 +57,10 @@ def main() -> None:
     parser.add_argument("--max-his", type=int, default=100)
     parser.add_argument("--batch", type=int, default=8192)
     parser.add_argument("--his-refresh", default="subepoch")
+    parser.add_argument(
+        "--neg-sampler", type=int, default=1,
+        help="0 uniform, 1 tile (auto-tuned tile_size)",
+    )
     args = parser.parse_args()
 
     rng = np.random.default_rng(0)
@@ -88,6 +92,9 @@ def main() -> None:
         milestones=[10],
         seed=2022,
         his_refresh=args.his_refresh,
+        neg_sampler=args.neg_sampler,
+        tile_size=0,  # Alg.-1 auto tuning
+        refresh_interval=8192,
     )
 
     n_avail = len(jax.devices())
