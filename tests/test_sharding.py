@@ -99,3 +99,43 @@ def test_sharded_evaluate(data):
     eng.train_one_epoch()
     m = eng.evaluate()
     assert 0.0 <= m["Recall(k=20)"] <= 1.0
+
+
+def test_sharded_tile_sampler_matches_single_device(data):
+    """The whole-tile MXU scoring path (multiplicity-weighted losses, tile
+    gradient via transposed matmul) under the 8-device mesh must match the
+    unsharded tile run — the headline bench configuration is tile mode, so
+    its sharded lowering (tile gather across "model" shards + replicated
+    counts) needs the same equivalence guarantee as the uniform path."""
+    train, test = data
+    cfg = _cfg()
+    cfg.batch_size = 1 << 12
+    cfg.neg_sampler = 1
+    cfg.tile_size = 64
+    cfg.refresh_interval = 1 << 12
+
+    e_single = Engine(cfg, train, test)
+    loss_single = e_single.train_one_epoch()
+
+    mesh = make_mesh(2, 4, jax.devices()[:8])
+    cfg2 = _cfg()
+    cfg2.batch_size = 1 << 12
+    cfg2.neg_sampler = 1
+    cfg2.tile_size = 64
+    cfg2.refresh_interval = 1 << 12
+    e_sharded = Engine(cfg2, train, test, mesh=mesh)
+    loss_sharded = e_sharded.train_one_epoch()
+
+    np.testing.assert_allclose(loss_sharded, loss_single, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(e_sharded.state.user_emb),
+        np.asarray(e_single.state.user_emb),
+        rtol=1e-4,
+        atol=5e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(e_sharded.state.item_emb),
+        np.asarray(e_single.state.item_emb),
+        rtol=1e-2,
+        atol=2e-6,
+    )
