@@ -69,6 +69,11 @@ class CFConfig:
                                 # (uniform_random_negative_sampler.cpp:26-36)
 
     # --- behavior aggregator --------------------------------------------
+    # History pooling. The reference names "average pooling, self-attention,
+    # and user-attention" (behavior_aggregators.cpp:27) but implements only
+    # the mean; the attention variants (the paper's ACCL configurations) are
+    # live here (models/aggregator.py pool_history).
+    aggregator: str = "mean"    # "mean" | "self_attention" | "user_attention"
     gamma: float = 0.4          # user/history blend (behavior_aggregators.cpp:37,122)
     aggr_minibatch: int = 32    # weights0 update cadence (behavior_aggregators.cpp:32,141-146)
     # History-mean freshness. "step" recomputes each user's history mean
@@ -118,6 +123,8 @@ class CFConfig:
             raise ValueError(f"unknown loss {self.loss!r}")
         if self.his_refresh not in ("step", "subepoch"):
             raise ValueError(f"unknown his_refresh {self.his_refresh!r}")
+        if self.aggregator not in ("mean", "self_attention", "user_attention"):
+            raise ValueError(f"unknown aggregator {self.aggregator!r}")
         self.milestones = list(self.milestones)
         self.metrics = list(self.metrics)
 
@@ -150,6 +157,8 @@ _MODEL_KEY_MAP = {
     "num_subepoches": "num_subepochs",  # reference spelling (cf_config.py:8)
     "sgd_mode": "sgd_mode",
     "his_refresh": "his_refresh",
+    "aggregator": "aggregator",
+    "aggregation": "aggregator",  # SimpleX config spelling
     "gamma": "gamma",
     "temperature": "temperature",
     "param_dtype": "param_dtype",

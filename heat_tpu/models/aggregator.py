@@ -22,6 +22,9 @@ divisor (the reference divides by zero there and warns — we clamp).
 
 from __future__ import annotations
 
+from typing import Optional
+
+import jax
 import jax.numpy as jnp
 
 
@@ -43,6 +46,58 @@ def history_mean(
     total = jnp.einsum("bhd,bh->bd", his_embs, valid)
     denom = jnp.maximum(mask.astype(his_embs.dtype), 1.0)
     return total / denom[:, None]
+
+
+def pool_history(
+    his_embs: jnp.ndarray,
+    mask: jnp.ndarray,
+    u: Optional[jnp.ndarray] = None,
+    attn_q: Optional[jnp.ndarray] = None,
+    kind: str = "mean",
+) -> jnp.ndarray:
+    """History pooling with the SimpleX aggregation menu.
+
+    The reference names three aggregation choices — "average pooling,
+    self-attention, and user-attention" (behavior_aggregators.cpp:27) — but
+    implements only average pooling; the attention variants back the paper's
+    ACCL results (ICS'23 section 5.2). All three are provided here:
+
+    * ``mean``: masked mean over the valid history rows (the reference's
+      live path, behavior_aggregators.cpp:96-105);
+    * ``self_attention``: scaled dot-product attention against a learned
+      (d,) query vector ``attn_q`` — a_i = softmax(h_i . q / sqrt(d));
+    * ``user_attention``: the user's own embedding is the query —
+      a_i = softmax(h_i . u / sqrt(d)).
+
+    In every variant no gradient flows into the history item rows (callers
+    stop_gradient the gather, matching behavior_aggregators.cpp:129-153);
+    attention gradients flow to ``attn_q`` (self) / ``u`` (user) by autodiff.
+    Users with empty histories pool to the zero vector.
+    """
+    if kind == "mean":
+        return history_mean(his_embs, mask)
+    _, h, d = his_embs.shape
+    pos = jnp.arange(h, dtype=mask.dtype)[None, :]  # (1, H)
+    valid = pos < mask[:, None]  # (B, H)
+    scale = jnp.asarray(d, his_embs.dtype) ** -0.5
+    if kind == "self_attention":
+        if attn_q is None:
+            raise ValueError("self_attention requires attn_q")
+        logits = jnp.einsum("bhd,d->bh", his_embs, attn_q) * scale
+    elif kind == "user_attention":
+        if u is None:
+            raise ValueError("user_attention requires the user embeddings")
+        logits = jnp.einsum("bhd,bd->bh", his_embs, u) * scale
+    else:
+        raise ValueError(f"unknown aggregator {kind!r}")
+    # Keep slot 0 un-masked so the softmax is never all -inf (empty
+    # histories have all-zero padding rows, datasets.py:47-61, so slot 0
+    # contributes zeros); the final where() zeroes those users exactly.
+    never_empty = valid | (pos == 0)
+    logits = jnp.where(never_empty, logits, jnp.asarray(-1e9, logits.dtype))
+    attn = jax.nn.softmax(logits, axis=-1)
+    pooled = jnp.einsum("bh,bhd->bd", attn, his_embs)
+    return jnp.where(mask[:, None] > 0, pooled, jnp.zeros_like(pooled))
 
 
 def aggregate_history(

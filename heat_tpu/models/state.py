@@ -37,6 +37,10 @@ class TrainState(struct.PyTreeNode):
       lr: current learning rate (scheduled on host per epoch,
         engine.cpp:156-160).
       step: global batch counter.
+      attn_q: (d,) learned attention query, present only when
+        cfg.aggregator == "self_attention" (the reference's named-but-
+        unimplemented attention aggregation, behavior_aggregators.cpp:27);
+        None otherwise.
     """
 
     user_emb: jax.Array
@@ -46,11 +50,12 @@ class TrainState(struct.PyTreeNode):
     item_gacc: Optional[jax.Array]
     lr: jax.Array
     step: jax.Array
+    attn_q: Optional[jax.Array] = None
 
 
 def init_train_state(cfg: CFConfig, key: jax.Array) -> TrainState:
     """Initialize embeddings and aggregator weights (parity with reference)."""
-    ku, ki, kw = jax.random.split(key, 3)
+    ku, ki, kw, kq = jax.random.split(key, 4)
     dtype = jnp.dtype(cfg.param_dtype)
     user_emb = (
         jax.random.normal(ku, (cfg.num_users, cfg.emb_dim), jnp.float32)
@@ -64,6 +69,11 @@ def init_train_state(cfg: CFConfig, key: jax.Array) -> TrainState:
         jax.random.normal(kw, (cfg.emb_dim, cfg.emb_dim), jnp.float32)
         * INIT_STD
     ).astype(jnp.float32)
+    attn_q = None
+    if cfg.aggregator == "self_attention":
+        attn_q = (
+            jax.random.normal(kq, (cfg.emb_dim,), jnp.float32) * INIT_STD
+        )
     accum = cfg.sgd_mode == SGD_MODE_ACCUM
     return TrainState(
         user_emb=user_emb,
@@ -73,6 +83,7 @@ def init_train_state(cfg: CFConfig, key: jax.Array) -> TrainState:
         item_gacc=jnp.zeros_like(item_emb) if accum else None,
         lr=jnp.asarray(cfg.l_r, jnp.float32),
         step=jnp.asarray(0, jnp.int32),
+        attn_q=attn_q,
     )
 
 

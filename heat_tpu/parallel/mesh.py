@@ -80,6 +80,7 @@ def train_state_shardings(mesh: Mesh, state: TrainState) -> TrainState:
         item_gacc=ns(MODEL_AXIS, None) if state.item_gacc is not None else None,
         lr=ns(),
         step=ns(),
+        attn_q=ns() if state.attn_q is not None else None,
     )
 
 

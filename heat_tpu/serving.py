@@ -56,15 +56,22 @@ class Recommender:
             return user_emb
         if self.his_items is None or self.his_masks is None:
             raise ValueError("aggregate_users requires history arrays")
-        from heat_tpu.train.engine import compute_user_means
+        from heat_tpu.train.engine import compute_user_pools
 
-        means = compute_user_means(
+        pooled = compute_user_pools(
             self.state.item_emb,
             jnp.asarray(self.his_items),
             jnp.asarray(self.his_masks),
+            user_emb=(
+                user_emb
+                if self.cfg.aggregator == "user_attention"
+                else None
+            ),
+            attn_q=self.state.attn_q,
+            aggregator=self.cfg.aggregator,
         )
         return aggregate_history(
-            user_emb, means, self.state.w0, self.cfg.gamma
+            user_emb, pooled, self.state.w0, self.cfg.gamma
         )
 
     def recommend_all(

@@ -60,21 +60,27 @@ def _process_local_rows(arr) -> np.ndarray:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def compute_user_means(
+@functools.partial(jax.jit, static_argnames=("chunk", "aggregator"))
+def compute_user_pools(
     item_emb: jnp.ndarray,
     his_items: jnp.ndarray,
     his_masks: jnp.ndarray,
+    user_emb: Optional[jnp.ndarray] = None,
+    attn_q: Optional[jnp.ndarray] = None,
+    aggregator: str = "mean",
     chunk: int = 4096,
 ) -> jnp.ndarray:
-    """Per-user history means over the whole user table, in chunks.
+    """Per-user pooled history over the whole user table, in chunks.
 
     Backs cfg.his_refresh == "subepoch": one pass over U*H history rows per
     (sub-)epoch instead of B*H rows per step (each user is revisited
     ~train_size/U times per epoch, so this cuts the dominant gather traffic
-    by that factor at the cost of means staleness within the period).
+    by that factor at the cost of pooled-history staleness within the
+    period). Supports every cfg.aggregator; the attention variants pool
+    with the refresh-time query (attn_q / user rows), consistent with the
+    mode's staleness contract.
     """
-    from heat_tpu.models.aggregator import history_mean
+    from heat_tpu.models.aggregator import pool_history
 
     u, h = his_items.shape
     u_pad = -(-u // chunk) * chunk
@@ -85,15 +91,36 @@ def compute_user_means(
         his_masks = jnp.concatenate(
             [his_masks, jnp.zeros((u_pad - u,), his_masks.dtype)]
         )
-    his_items = his_items.reshape(u_pad // chunk, chunk, h)
-    his_masks = his_masks.reshape(u_pad // chunk, chunk)
+    xs = [
+        his_items.reshape(u_pad // chunk, chunk, h),
+        his_masks.reshape(u_pad // chunk, chunk),
+    ]
+    if aggregator == "user_attention":
+        if u_pad != u:
+            user_emb = jnp.concatenate(
+                [user_emb, jnp.zeros((u_pad - u, user_emb.shape[1]), user_emb.dtype)]
+            )
+        xs.append(user_emb.reshape(u_pad // chunk, chunk, user_emb.shape[1]))
 
     def body(_, xs):
-        ids, mask = xs
-        return None, history_mean(item_emb[ids], mask)
+        ids, mask = xs[0], xs[1]
+        urows = xs[2] if len(xs) > 2 else None
+        return None, pool_history(
+            item_emb[ids], mask, u=urows, attn_q=attn_q, kind=aggregator
+        )
 
-    _, means = jax.lax.scan(body, None, (his_items, his_masks))
-    return means.reshape(u_pad, item_emb.shape[1])[:u]
+    _, pooled = jax.lax.scan(body, None, tuple(xs))
+    return pooled.reshape(u_pad, item_emb.shape[1])[:u]
+
+
+def compute_user_means(
+    item_emb: jnp.ndarray,
+    his_items: jnp.ndarray,
+    his_masks: jnp.ndarray,
+    chunk: int = 4096,
+) -> jnp.ndarray:
+    """Mean-pooling special case of :func:`compute_user_pools`."""
+    return compute_user_pools(item_emb, his_items, his_masks, chunk=chunk)
 
 
 @functools.partial(jax.jit, static_argnames=("num_batches", "batch"))
@@ -229,6 +256,22 @@ class Engine:
         self._evaluator = None  # lazy TiledEvaluator (mask tensors cached)
 
     # ------------------------------------------------------------------
+    def _pooled_history(self) -> jnp.ndarray:
+        """(U, d) pooled history under the configured aggregator."""
+        cfg = self.cfg
+        return compute_user_pools(
+            self.state.item_emb,
+            self.his_items,
+            self.his_masks,
+            user_emb=(
+                self.state.user_emb
+                if cfg.aggregator == "user_attention"
+                else None
+            ),
+            attn_q=self.state.attn_q,
+            aggregator=cfg.aggregator,
+        )
+
     def _next_key(self) -> jax.Array:
         self._key, sub = jax.random.split(self._key)
         return sub
@@ -289,9 +332,7 @@ class Engine:
         user_means = None
         if cfg.his_refresh == "subepoch":
             with self.timer.phase("aggr_f"):
-                user_means = compute_user_means(
-                    self.state.item_emb, self.his_items, self.his_masks
-                )
+                user_means = self._pooled_history()
         with self.timer.phase("f_b"):
             self.state, self.sampler_state, loss_sum = self._epoch_fn(
                 self.state,
@@ -378,11 +419,8 @@ class Engine:
             )
         user_emb = self.state.user_emb
         if aggregate_users:
-            means = compute_user_means(
-                self.state.item_emb, self.his_items, self.his_masks
-            )
             user_emb = aggregate_history(
-                user_emb, means, self.state.w0, self.cfg.gamma
+                user_emb, self._pooled_history(), self.state.w0, self.cfg.gamma
             )
         with self.timer.phase("eval"):
             if (
@@ -433,11 +471,8 @@ class Engine:
         )
         user_arr = self.state.user_emb
         if aggregate_users:
-            means = compute_user_means(
-                self.state.item_emb, self.his_items, self.his_masks
-            )
             user_arr = aggregate_history(
-                user_arr, means, self.state.w0, self.cfg.gamma
+                user_arr, self._pooled_history(), self.state.w0, self.cfg.gamma
             )
         user_local = _process_local_rows(user_arr)
         start, _ = user_range_bounds(

@@ -38,7 +38,11 @@ import jax
 import jax.numpy as jnp
 
 from heat_tpu.config import CFConfig
-from heat_tpu.models.aggregator import aggregate_history, history_mean
+from heat_tpu.models.aggregator import (
+    aggregate_history,
+    history_mean,
+    pool_history,
+)
 from heat_tpu.models.state import TrainState
 from heat_tpu.ops.losses import sample_losses, sample_losses_weighted
 from heat_tpu.ops.similarity import pair_scores, tile_scores
@@ -68,9 +72,9 @@ def train_step(
     neg_candidates: optional (C,) item-id pool to constrain negatives to
       (the sub-epoch partition-complement sampling of engine.cpp:222-237);
       None draws from the full item space.
-    user_means: optional precomputed (U, d) history-mean table
-      (cfg.his_refresh == "subepoch"); None recomputes from the live item
-      table per step (reference semantics).
+    user_means: optional precomputed (U, d) pooled-history table
+      (cfg.his_refresh == "subepoch", any cfg.aggregator); None recomputes
+      from the live item table per step (reference semantics).
     """
     users, pos, weight = batch
     sample, sampler_state = sample_negatives(key, sampler_state, pos, cfg)
@@ -113,14 +117,34 @@ def train_step(
         )
     else:
         n_rows = item_emb[negs].astype(compute)
+    # History pooling (cfg.aggregator: mean | self_attention |
+    # user_attention). The mean is constant w.r.t. the differentiated
+    # inputs, so it is computed outside the loss; the attention variants'
+    # weights depend on attn_q / u_rows and pool inside it (autodiff
+    # provides the attention gradients). History item rows never receive
+    # gradient in any variant (behavior_aggregators.cpp:129-153).
+    his_embs = his_mask_b = None
+    pooled_const = None
     if user_means is not None:
-        means = jax.lax.stop_gradient(user_means[users]).astype(compute)
+        pooled_const = jax.lax.stop_gradient(user_means[users]).astype(compute)
     else:
         his_ids = his_items[users]                   # (B, H)
         his_embs = jax.lax.stop_gradient(item_emb[his_ids]).astype(compute)
-        means = history_mean(his_embs, his_masks[users])  # (B, d)
+        his_mask_b = his_masks[users]
+        if cfg.aggregator == "mean":
+            pooled_const = history_mean(his_embs, his_mask_b)  # (B, d)
 
-    def batch_loss(u_rows, p_rows, n_rows, w0):
+    def batch_loss(u_rows, p_rows, n_rows, w0, attn_q=None):
+        if pooled_const is not None:
+            means = pooled_const
+        else:
+            means = pool_history(
+                his_embs,
+                his_mask_b,
+                u=u_rows,
+                attn_q=None if attn_q is None else attn_q.astype(compute),
+                kind=cfg.aggregator,
+            )
         u_agg = aggregate_history(u_rows, means, w0.astype(compute), cfg.gamma)
         if tiled:
             s_up, S = tile_scores(
@@ -134,12 +158,19 @@ def train_step(
                 u_agg, p_rows, n_rows, similarity=cfg.similarity
             )
             losses = sample_losses(s_up, s_un, cfg)   # (B,)
-        return jnp.sum(losses * weight), u_agg
+        return jnp.sum(losses * weight), (u_agg, means)
 
-    (loss_sum, u_agg), grads = jax.value_and_grad(
-        batch_loss, argnums=(0, 1, 2, 3), has_aux=True
-    )(u_rows, p_rows, n_rows, w0)
-    g_u, g_p, g_n, g_w0 = grads
+    g_q = None
+    if cfg.aggregator == "self_attention":
+        (loss_sum, (u_agg, means)), grads = jax.value_and_grad(
+            batch_loss, argnums=(0, 1, 2, 3, 4), has_aux=True
+        )(u_rows, p_rows, n_rows, w0, state.attn_q)
+        g_u, g_p, g_n, g_w0, g_q = grads
+    else:
+        (loss_sum, (u_agg, means)), grads = jax.value_and_grad(
+            batch_loss, argnums=(0, 1, 2, 3), has_aux=True
+        )(u_rows, p_rows, n_rows, w0)
+        g_u, g_p, g_n, g_w0 = grads
 
     if state.user_gacc is not None:
         # Reference fidelity (accum mode): the aggregator backward reuses the
@@ -206,6 +237,9 @@ def train_step(
 
     # Aggregator weights: B/aggr_minibatch reference updates collapsed.
     w0 = w0 - state.lr * g_w0.astype(w0.dtype) / cfg.aggr_minibatch
+    attn_q = state.attn_q
+    if g_q is not None:
+        attn_q = attn_q - state.lr * g_q.astype(attn_q.dtype) / cfg.aggr_minibatch
 
     state = state.replace(
         user_emb=user_emb,
@@ -214,6 +248,7 @@ def train_step(
         user_gacc=user_gacc,
         item_gacc=item_gacc,
         step=state.step + 1,
+        attn_q=attn_q,
     )
     return state, sampler_state, loss_sum
 
