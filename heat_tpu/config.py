@@ -86,6 +86,14 @@ class CFConfig:
     his_refresh: str = "step"   # "step" | "subepoch"
 
     # --- optimizer -------------------------------------------------------
+    # The reference YAMLs carry `optimizer: sgd` and the engine hardcodes
+    # SGD regardless (engine.cpp:16); here the key is honored, with
+    # row-sparse Adagrad/Adam (lazy moments: only touched rows update) as
+    # TPU-native extensions (scatter.apply_row_updates_opt).
+    optimizer: str = "sgd"      # "sgd" | "adagrad" | "adam"
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    opt_eps: float = 1.0e-8
     l_r: float = 1.0e-3
     clip_val: float = 0.1       # elementwise +-clip before SGD (optimizer.cpp:17-22)
     l2: float = 1.0e-3          # accepted for schema parity; the reference's
@@ -125,6 +133,14 @@ class CFConfig:
             raise ValueError(f"unknown his_refresh {self.his_refresh!r}")
         if self.aggregator not in ("mean", "self_attention", "user_attention"):
             raise ValueError(f"unknown aggregator {self.aggregator!r}")
+        self.optimizer = str(self.optimizer).lower()
+        if self.optimizer not in ("sgd", "adagrad", "adam"):
+            raise ValueError(f"unknown optimizer {self.optimizer!r}")
+        if self.optimizer != "sgd" and self.sgd_mode == SGD_MODE_ACCUM:
+            raise ValueError(
+                "sgd_mode='accum' replicates the reference's persistent "
+                "SGD gradient rows and is only defined for optimizer='sgd'"
+            )
         self.milestones = list(self.milestones)
         self.metrics = list(self.metrics)
 
@@ -159,6 +175,10 @@ _MODEL_KEY_MAP = {
     "his_refresh": "his_refresh",
     "aggregator": "aggregator",
     "aggregation": "aggregator",  # SimpleX config spelling
+    "optimizer": "optimizer",
+    "adam_beta1": "adam_beta1",
+    "adam_beta2": "adam_beta2",
+    "opt_eps": "opt_eps",
     "gamma": "gamma",
     "temperature": "temperature",
     "param_dtype": "param_dtype",
@@ -172,7 +192,6 @@ _IGNORED_MODEL_KEYS = {
     "embedding_dropout",
     "net_regularizer",
     "net_dropout",
-    "optimizer",  # reference hardcodes SGD (engine.cpp:16)
 }
 
 # `similarity_score: dot` in reference YAMLs is a mislabel — the kernel

@@ -41,6 +41,11 @@ class TrainState(struct.PyTreeNode):
         cfg.aggregator == "self_attention" (the reference's named-but-
         unimplemented attention aggregation, behavior_aggregators.cpp:27);
         None otherwise.
+      opt_slots: optimizer moment tables, present only for
+        cfg.optimizer in ("adagrad", "adam"); a dict keyed
+        "{user,item,w0,attn_q}_{m,v}" ("_m" for Adam only), each shaped
+        like its parameter. None for SGD (the reference's only optimizer,
+        engine.cpp:16).
     """
 
     user_emb: jax.Array
@@ -51,6 +56,7 @@ class TrainState(struct.PyTreeNode):
     lr: jax.Array
     step: jax.Array
     attn_q: Optional[jax.Array] = None
+    opt_slots: Optional[dict] = None
 
 
 def init_train_state(cfg: CFConfig, key: jax.Array) -> TrainState:
@@ -74,6 +80,22 @@ def init_train_state(cfg: CFConfig, key: jax.Array) -> TrainState:
         attn_q = (
             jax.random.normal(kq, (cfg.emb_dim,), jnp.float32) * INIT_STD
         )
+    opt_slots = None
+    if cfg.optimizer in ("adagrad", "adam"):
+        params = {"user": user_emb, "item": item_emb, "w0": w0}
+        if attn_q is not None:
+            params["attn_q"] = attn_q
+        opt_slots = {
+            f"{name}_v": jnp.zeros(p.shape, jnp.float32)
+            for name, p in params.items()
+        }
+        if cfg.optimizer == "adam":
+            opt_slots.update(
+                {
+                    f"{name}_m": jnp.zeros(p.shape, jnp.float32)
+                    for name, p in params.items()
+                }
+            )
     accum = cfg.sgd_mode == SGD_MODE_ACCUM
     return TrainState(
         user_emb=user_emb,
@@ -84,6 +106,7 @@ def init_train_state(cfg: CFConfig, key: jax.Array) -> TrainState:
         lr=jnp.asarray(cfg.l_r, jnp.float32),
         step=jnp.asarray(0, jnp.int32),
         attn_q=attn_q,
+        opt_slots=opt_slots,
     )
 
 

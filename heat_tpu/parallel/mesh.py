@@ -81,6 +81,18 @@ def train_state_shardings(mesh: Mesh, state: TrainState) -> TrainState:
         lr=ns(),
         step=ns(),
         attn_q=ns() if state.attn_q is not None else None,
+        opt_slots=(
+            None
+            if state.opt_slots is None
+            else {
+                k: (
+                    ns(DATA_AXIS, None)
+                    if k.startswith("user")
+                    else ns(MODEL_AXIS, None) if k.startswith("item") else ns()
+                )
+                for k in state.opt_slots
+            }
+        ),
     )
 
 

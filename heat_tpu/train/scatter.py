@@ -131,6 +131,137 @@ def _apply_row_updates_dense(
     return new_table, new_gacc
 
 
+def dense_opt_update(
+    param: jnp.ndarray,
+    g: jnp.ndarray,
+    slots: dict,
+    name: str,
+    *,
+    lr: jnp.ndarray,
+    step: jnp.ndarray,
+    beta1: float,
+    beta2: float,
+    eps: float,
+) -> tuple[jnp.ndarray, dict]:
+    """Adagrad/Adam update of a dense (replicated) parameter like w0.
+
+    ``slots`` holds "{name}_v" (and "{name}_m" for Adam); returns the
+    updated parameter and slots. ``step`` is the 1-based global step used
+    for Adam bias correction.
+    """
+    g = g.astype(jnp.float32)
+    new_slots = dict(slots)
+    if f"{name}_m" in slots:  # adam
+        t = step.astype(jnp.float32)
+        m = beta1 * slots[f"{name}_m"] + (1.0 - beta1) * g
+        v = beta2 * slots[f"{name}_v"] + (1.0 - beta2) * g * g
+        m_hat = m / (1.0 - beta1**t)
+        v_hat = v / (1.0 - beta2**t)
+        upd = m_hat / (jnp.sqrt(v_hat) + eps)
+        new_slots[f"{name}_m"] = m
+    else:  # adagrad
+        v = slots[f"{name}_v"] + g * g
+        upd = g / (jnp.sqrt(v) + eps)
+    new_slots[f"{name}_v"] = v
+    return param - (lr * upd).astype(param.dtype), new_slots
+
+
+def apply_row_updates_opt(
+    table: jnp.ndarray,
+    ids: jnp.ndarray,
+    grads: jnp.ndarray,
+    *,
+    lr: jnp.ndarray,
+    clip_val: float,
+    step: jnp.ndarray,
+    m: Optional[jnp.ndarray],
+    v: jnp.ndarray,
+    beta1: float = 0.9,
+    beta2: float = 0.999,
+    eps: float = 1e-8,
+    l2: float = 0.0,
+) -> tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
+    """Row-sparse Adagrad (m is None) / lazy Adam row update.
+
+    Same duplicate-combine + clip-the-combined-row semantics as
+    :func:`apply_row_updates`, but the clipped gradient feeds a moment-based
+    transform instead of plain SGD. Moments are "lazy": only touched rows
+    update (torch SparseAdam semantics — untouched rows neither decay nor
+    bias-correct; Adam bias correction uses the 1-based global ``step``).
+
+    Returns (new_table, new_m, new_v).
+    """
+    if table.shape[0] <= DENSE_ROWS_THRESHOLD:
+        return _apply_row_updates_opt_dense(
+            table, ids, grads, lr=lr, clip_val=clip_val, step=step,
+            m=m, v=v, beta1=beta1, beta2=beta2, eps=eps, l2=l2,
+        )
+    return _apply_row_updates_opt_sorted(
+        table, ids, grads, lr=lr, clip_val=clip_val, step=step,
+        m=m, v=v, beta1=beta1, beta2=beta2, eps=eps, l2=l2,
+    )
+
+
+def _apply_row_updates_opt_dense(
+    table, ids, grads, *, lr, clip_val, step, m, v, beta1, beta2, eps, l2
+):
+    num_rows = table.shape[0]
+    acc = jnp.zeros(table.shape, jnp.float32).at[ids].add(grads, mode="drop")
+    touched = (
+        jnp.zeros((num_rows, 1), jnp.float32)
+        .at[ids]
+        .add(jnp.ones((ids.shape[0], 1), jnp.float32), mode="drop")
+    )
+    touched = jnp.minimum(touched, 1.0)
+    if l2:
+        acc = acc + l2 * table.astype(jnp.float32) * touched
+    g = jnp.clip(acc, -clip_val, clip_val)
+    if m is None:  # adagrad: untouched rows have g == 0, v unchanged
+        new_v = v + g * g
+        upd = g / (jnp.sqrt(new_v) + eps) * touched
+        return table - (lr * upd).astype(table.dtype), None, new_v
+    t = step.astype(jnp.float32)
+    new_m = jnp.where(touched > 0, beta1 * m + (1.0 - beta1) * g, m)
+    new_v = jnp.where(touched > 0, beta2 * v + (1.0 - beta2) * g * g, v)
+    m_hat = new_m / (1.0 - beta1**t)
+    v_hat = new_v / (1.0 - beta2**t)
+    upd = m_hat / (jnp.sqrt(v_hat) + eps) * touched
+    return table - (lr * upd).astype(table.dtype), new_m, new_v
+
+
+def _apply_row_updates_opt_sorted(
+    table, ids, grads, *, lr, clip_val, step, m, v, beta1, beta2, eps, l2
+):
+    num_rows = table.shape[0]
+    rep_ids, summed = segment_sum_by_id(ids, grads, num_rows)
+    safe = jnp.minimum(rep_ids, num_rows - 1)
+    valid = (rep_ids < num_rows).astype(jnp.float32)[:, None]
+    if l2:
+        summed = summed + l2 * table[safe].astype(jnp.float32) * valid
+    g = jnp.clip(summed, -clip_val, clip_val) * valid
+    if m is None:  # adagrad
+        v_rows = v[safe]
+        new_v_rows = v_rows + g * g
+        upd = g / (jnp.sqrt(new_v_rows) + eps)
+        new_table = table.at[rep_ids].add(
+            (-lr * upd).astype(table.dtype), mode="drop"
+        )
+        new_v = v.at[rep_ids].set(new_v_rows, mode="drop")
+        return new_table, None, new_v
+    t = step.astype(jnp.float32)
+    new_m_rows = beta1 * m[safe] + (1.0 - beta1) * g
+    new_v_rows = beta2 * v[safe] + (1.0 - beta2) * g * g
+    m_hat = new_m_rows / (1.0 - beta1**t)
+    v_hat = new_v_rows / (1.0 - beta2**t)
+    upd = m_hat / (jnp.sqrt(v_hat) + eps) * valid
+    new_table = table.at[rep_ids].add(
+        (-lr * upd).astype(table.dtype), mode="drop"
+    )
+    new_m = m.at[rep_ids].set(new_m_rows, mode="drop")
+    new_v = v.at[rep_ids].set(new_v_rows, mode="drop")
+    return new_table, new_m, new_v
+
+
 def _apply_row_updates_sorted(
     table, ids, grads, *, lr, clip_val, gacc, decay, l2
 ):

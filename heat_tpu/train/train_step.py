@@ -47,7 +47,11 @@ from heat_tpu.models.state import TrainState
 from heat_tpu.ops.losses import sample_losses, sample_losses_weighted
 from heat_tpu.ops.similarity import pair_scores, tile_scores
 from heat_tpu.train.samplers import SamplerState, sample_negatives
-from heat_tpu.train.scatter import apply_row_updates
+from heat_tpu.train.scatter import (
+    apply_row_updates,
+    apply_row_updates_opt,
+    dense_opt_update,
+)
 
 
 class Batch(NamedTuple):
@@ -191,20 +195,46 @@ def train_step(
     users_w = jnp.where(valid, users, drop_user)
     pos_w = jnp.where(valid, pos, drop_item)
 
-    # User table: the aggregated embedding replaces the row, then SGD.
+    # User table: the aggregated embedding replaces the row, then the
+    # optimizer step (SGD in the reference; row-sparse Adagrad/Adam here
+    # when cfg.optimizer selects them).
     user_emb = user_emb.at[users_w].set(
         u_agg.astype(user_emb.dtype), mode="drop"
     )
-    user_emb, user_gacc = apply_row_updates(
-        user_emb,
-        users_w,
-        g_u.astype(jnp.float32),
-        lr=state.lr,
-        clip_val=cfg.clip_val,
-        gacc=state.user_gacc,
-        decay=cfg.gamma,  # see scatter.apply_row_updates docstring
-        l2=cfg.l2 if cfg.l2_enabled else 0.0,
-    )
+    l2 = cfg.l2 if cfg.l2_enabled else 0.0
+    opt_slots = state.opt_slots
+    step1 = state.step + 1  # 1-based step for Adam bias correction
+    if cfg.optimizer == "sgd":
+        user_emb, user_gacc = apply_row_updates(
+            user_emb,
+            users_w,
+            g_u.astype(jnp.float32),
+            lr=state.lr,
+            clip_val=cfg.clip_val,
+            gacc=state.user_gacc,
+            decay=cfg.gamma,  # see scatter.apply_row_updates docstring
+            l2=l2,
+        )
+    else:
+        user_gacc = None
+        opt_slots = dict(opt_slots)
+        user_emb, new_m, new_v = apply_row_updates_opt(
+            user_emb,
+            users_w,
+            g_u.astype(jnp.float32),
+            lr=state.lr,
+            clip_val=cfg.clip_val,
+            step=step1,
+            m=opt_slots.get("user_m"),
+            v=opt_slots["user_v"],
+            beta1=cfg.adam_beta1,
+            beta2=cfg.adam_beta2,
+            eps=cfg.opt_eps,
+            l2=l2,
+        )
+        if new_m is not None:
+            opt_slots["user_m"] = new_m
+        opt_slots["user_v"] = new_v
 
     # Item table: positives and negatives in one deduplicated scatter.
     if tiled:
@@ -224,22 +254,67 @@ def train_step(
                 g_n.reshape(-1, g_n.shape[-1]).astype(jnp.float32),
             ]
         )
-    item_emb, item_gacc = apply_row_updates(
-        item_emb,
-        item_ids,
-        item_grads,
-        lr=state.lr,
-        clip_val=cfg.clip_val,
-        gacc=state.item_gacc,
-        decay=1.0,
-        l2=cfg.l2 if cfg.l2_enabled else 0.0,
-    )
+    if cfg.optimizer == "sgd":
+        item_emb, item_gacc = apply_row_updates(
+            item_emb,
+            item_ids,
+            item_grads,
+            lr=state.lr,
+            clip_val=cfg.clip_val,
+            gacc=state.item_gacc,
+            decay=1.0,
+            l2=l2,
+        )
+    else:
+        item_gacc = None
+        item_emb, new_m, new_v = apply_row_updates_opt(
+            item_emb,
+            item_ids,
+            item_grads,
+            lr=state.lr,
+            clip_val=cfg.clip_val,
+            step=step1,
+            m=opt_slots.get("item_m"),
+            v=opt_slots["item_v"],
+            beta1=cfg.adam_beta1,
+            beta2=cfg.adam_beta2,
+            eps=cfg.opt_eps,
+            l2=l2,
+        )
+        if new_m is not None:
+            opt_slots["item_m"] = new_m
+        opt_slots["item_v"] = new_v
 
     # Aggregator weights: B/aggr_minibatch reference updates collapsed.
-    w0 = w0 - state.lr * g_w0.astype(w0.dtype) / cfg.aggr_minibatch
     attn_q = state.attn_q
-    if g_q is not None:
-        attn_q = attn_q - state.lr * g_q.astype(attn_q.dtype) / cfg.aggr_minibatch
+    if cfg.optimizer == "sgd":
+        w0 = w0 - state.lr * g_w0.astype(w0.dtype) / cfg.aggr_minibatch
+        if g_q is not None:
+            attn_q = attn_q - state.lr * g_q.astype(attn_q.dtype) / cfg.aggr_minibatch
+    else:
+        w0, opt_slots = dense_opt_update(
+            w0,
+            g_w0 / cfg.aggr_minibatch,
+            opt_slots,
+            "w0",
+            lr=state.lr,
+            step=step1,
+            beta1=cfg.adam_beta1,
+            beta2=cfg.adam_beta2,
+            eps=cfg.opt_eps,
+        )
+        if g_q is not None:
+            attn_q, opt_slots = dense_opt_update(
+                attn_q,
+                g_q / cfg.aggr_minibatch,
+                opt_slots,
+                "attn_q",
+                lr=state.lr,
+                step=step1,
+                beta1=cfg.adam_beta1,
+                beta2=cfg.adam_beta2,
+                eps=cfg.opt_eps,
+            )
 
     state = state.replace(
         user_emb=user_emb,
@@ -247,8 +322,9 @@ def train_step(
         w0=w0,
         user_gacc=user_gacc,
         item_gacc=item_gacc,
-        step=state.step + 1,
+        step=step1,
         attn_q=attn_q,
+        opt_slots=opt_slots,
     )
     return state, sampler_state, loss_sum
 
