@@ -227,7 +227,9 @@ def config_from_dicts(
         else:
             raise KeyError(f"unknown model_config key {key!r}")
     if overrides:
-        kwargs.update(overrides)
+        # Overrides accept either YAML key names or CFConfig field names.
+        for key, value in overrides.items():
+            kwargs[_MODEL_KEY_MAP.get(key, key)] = value
     return CFConfig(**kwargs)
 
 

@@ -22,6 +22,8 @@ import json
 import os
 import time
 
+import yaml
+
 from heat_tpu.config import load_config
 from heat_tpu.data.datasets import ClickDataset, shard_by_user_range
 from heat_tpu.data.synthetic import synthetic_click_dataset
@@ -50,9 +52,24 @@ def main(argv=None) -> None:
         default=None,
         help="append JSONL training/eval events (loss, lr, epoch time, metrics)",
     )
+    parser.add_argument(
+        "--set",
+        dest="overrides",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        help="override a model_config key (YAML-parsed value; repeatable), "
+        "e.g. --set optimizer=adam --set learning_rate=0.005",
+    )
     args = parser.parse_args(argv)
 
-    cfg, ds_cfg = load_config(args.config)
+    overrides = {}
+    for item in args.overrides:
+        key, sep, value = item.partition("=")
+        if not sep:
+            raise SystemExit(f"--set expects KEY=VALUE, got {item!r}")
+        overrides[key] = yaml.safe_load(value)
+    cfg, ds_cfg = load_config(args.config, **overrides)
     if args.epochs is not None:
         cfg.epochs = args.epochs
 

@@ -54,3 +54,13 @@ def test_invalid_values_raise():
 
 def test_score_mul():
     assert CFConfig(temperature=0.07).score_mul == pytest.approx(1 / 0.07)
+
+
+def test_overrides_accept_yaml_and_field_names():
+    cfg = config_from_dicts(
+        {"learning_rate": 0.01},
+        overrides={"learning_rate": 0.5, "optimizer": "adam", "emb_dim": 32},
+    )
+    assert cfg.l_r == 0.5
+    assert cfg.optimizer == "adam"
+    assert cfg.emb_dim == 32
