@@ -32,7 +32,14 @@ from heat_tpu.train.engine import Engine  # noqa: E402
 METRICS = ["Recall(k=20)", "Recall(k=50)", "NDCG(k=20)", "NDCG(k=50)"]
 
 
-def run(mode: str, train, test, epochs: int) -> dict:
+def run(
+    mode: str,
+    train,
+    test,
+    epochs: int,
+    dtype: str = "float32",
+    param_dtype: str = "float32",
+) -> dict:
     if mode == "fast":
         kw = dict(
             neg_sampler=1, tile_size=512, refresh_interval=8192,
@@ -43,7 +50,7 @@ def run(mode: str, train, test, epochs: int) -> dict:
     cfg = CFConfig(
         emb_dim=64, num_negs=16, max_his=100, batch_size=8192,
         l_r=0.01, clip_val=1.0, milestones=[10], seed=2022,
-        metrics=METRICS, **kw,
+        metrics=METRICS, compute_dtype=dtype, param_dtype=param_dtype, **kw,
     )
     eng = Engine(cfg, train, test)
     losses = [round(eng.train_one_epoch(), 4) for _ in range(epochs)]
@@ -56,15 +63,28 @@ def main() -> None:
     ap.add_argument("--users", type=int, default=52_643)
     ap.add_argument("--items", type=int, default=91_599)
     ap.add_argument("--epochs", type=int, default=5)
+    ap.add_argument(
+        "--modes",
+        type=str,
+        default="fast,exact",
+        help="comma list of mode[:compute_dtype[:param_dtype]] entries, "
+        "e.g. 'fast,fast:bfloat16,fast:bfloat16:bfloat16,exact'",
+    )
     args = ap.parse_args()
 
     train, test = synthetic_click_dataset(
         num_users=args.users, num_items=args.items, max_his=100, seed=7
     )
     out = {}
-    for mode in ("fast", "exact"):
-        out[mode] = run(mode, train, test, args.epochs)
-        print(json.dumps({mode: out[mode]}), flush=True)
+    for spec in args.modes.split(","):
+        parts = spec.split(":")
+        mode = parts[0]
+        dtype = parts[1] if len(parts) > 1 else "float32"
+        param_dtype = parts[2] if len(parts) > 2 else "float32"
+        out[spec] = run(mode, train, test, args.epochs, dtype, param_dtype)
+        print(json.dumps({spec: out[spec]}), flush=True)
+    if "fast" not in out or "exact" not in out:
+        return
     ratio = out["fast"]["Recall(k=20)"] / max(out["exact"]["Recall(k=20)"], 1e-9)
     print(json.dumps({"recall20_fast_over_exact": round(ratio, 4)}))
 

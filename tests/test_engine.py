@@ -117,6 +117,28 @@ def test_bfloat16_tables_train(data):
     assert m["Recall(k=20)"] > 0.12, m
 
 
+def test_bfloat16_compute_trains(data):
+    """bf16 scoring matmuls (f32 tables/updates): the bench fast-mode
+    speed lever; must keep the learning signal and ranking quality."""
+    train, test = data
+    eng = Engine(
+        small_cfg(
+            compute_dtype="bfloat16",
+            neg_sampler=1,
+            tile_size=64,
+            refresh_interval=512,
+            his_refresh="subepoch",
+        ),
+        train,
+        test,
+    )
+    losses = [eng.train_one_epoch() for _ in range(6)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9
+    m = eng.evaluate()
+    assert m["Recall(k=20)"] > 0.12, m
+
+
 def test_lr_schedule_applied(data):
     train, test = data
     eng = Engine(small_cfg(milestones=[1, 2], l_r=0.1), train, test)
