@@ -53,6 +53,13 @@ def main(argv=None) -> None:
         help="append JSONL training/eval events (loss, lr, epoch time, metrics)",
     )
     parser.add_argument(
+        "--profile-dir",
+        type=str,
+        default=None,
+        help="capture a jax.profiler device trace of epoch 0 into this dir "
+        "(view with tensorboard or xprof)",
+    )
+    parser.add_argument(
         "--set",
         dest="overrides",
         action="append",
@@ -132,9 +139,19 @@ def main(argv=None) -> None:
     from heat_tpu.utils.logging import MetricsLogger
 
     mlog = MetricsLogger(args.log_file)
+    first_epoch = engine.epoch
     for epoch in range(engine.epoch, cfg.epochs):
         t0 = time.time()
-        loss = engine.train_one_epoch()
+        if args.profile_dir and epoch == first_epoch:
+            # One warm-up epoch keeps compilation out of the trace (the
+            # profiled run therefore trains one extra epoch).
+            from heat_tpu.utils.profiling import trace
+
+            engine.train_one_epoch()
+            with trace(args.profile_dir):
+                loss = engine.train_one_epoch()
+        else:
+            loss = engine.train_one_epoch()
         dt = time.time() - t0
         print(f"epoch: {epoch}; loss: {loss:.6f}; epoch_time: {dt:.3f}s")
         mlog.log(
