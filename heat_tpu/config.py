@@ -133,6 +133,18 @@ class CFConfig:
             raise ValueError(f"unknown his_refresh {self.his_refresh!r}")
         if self.aggregator not in ("mean", "self_attention", "user_attention"):
             raise ValueError(f"unknown aggregator {self.aggregator!r}")
+        if self.aggregator == "self_attention" and self.his_refresh != "step":
+            # Under cached pooling the pooled history is stop_gradient'ed,
+            # and pooling is attn_q's ONLY gradient path — the query would
+            # silently stay frozen at its random init. (user_attention is
+            # fine: its query is the user row, which still trains through
+            # the scoring path; only the attention weights go stale, which
+            # is the caching mode's documented contract.)
+            raise ValueError(
+                "aggregator='self_attention' requires his_refresh='step': "
+                "with cached pooling the learned attention query receives "
+                "no gradient and never trains"
+            )
         self.optimizer = str(self.optimizer).lower()
         if self.optimizer not in ("sgd", "adagrad", "adam"):
             raise ValueError(f"unknown optimizer {self.optimizer!r}")
@@ -211,25 +223,40 @@ class DatasetConfig:
     data_format: str = "txt"
 
 
+def _resolve_model_key(key: str) -> str | None:
+    """YAML/override key -> CFConfig field name (None = accepted-and-ignored).
+
+    Raises KeyError for keys that are neither reference-schema YAML keys,
+    deliberately-ignored reference keys, nor CFConfig field names.
+    """
+    if key in _MODEL_KEY_MAP:
+        return _MODEL_KEY_MAP[key]
+    if key in _SIMILARITY_KEYS:
+        # `similarity_score: dot` is the reference YAMLs' mislabel (the
+        # kernel computes cosine); only the explicit `similarity` key binds.
+        return "similarity" if key == "similarity" else None
+    if key in _IGNORED_MODEL_KEYS:
+        return None
+    if key in {f.name for f in dataclasses.fields(CFConfig)}:
+        return key
+    raise KeyError(f"unknown model_config key {key!r}")
+
+
 def config_from_dicts(
     model_config: dict[str, Any], overrides: dict[str, Any] | None = None
 ) -> CFConfig:
-    """Build a CFConfig from a reference-schema model_config dict."""
+    """Build a CFConfig from a reference-schema model_config dict.
+
+    Overrides go through the same key handling as the YAML keys (either
+    YAML names or CFConfig field names bind; reference-ignored keys are
+    accepted and dropped; anything else raises KeyError).
+    """
     kwargs: dict[str, Any] = {}
-    for key, value in model_config.items():
-        if key in _MODEL_KEY_MAP:
-            kwargs[_MODEL_KEY_MAP[key]] = value
-        elif key in _SIMILARITY_KEYS:
-            if key == "similarity":
-                kwargs["similarity"] = value
-        elif key in _IGNORED_MODEL_KEYS:
-            continue
-        else:
-            raise KeyError(f"unknown model_config key {key!r}")
-    if overrides:
-        # Overrides accept either YAML key names or CFConfig field names.
-        for key, value in overrides.items():
-            kwargs[_MODEL_KEY_MAP.get(key, key)] = value
+    for source in (model_config, overrides or {}):
+        for key, value in source.items():
+            field = _resolve_model_key(key)
+            if field is not None:
+                kwargs[field] = value
     return CFConfig(**kwargs)
 
 

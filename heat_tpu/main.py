@@ -139,15 +139,16 @@ def main(argv=None) -> None:
     from heat_tpu.utils.logging import MetricsLogger
 
     mlog = MetricsLogger(args.log_file)
-    first_epoch = engine.epoch
+    # Trace the second epoch of this run so epoch one absorbs compilation
+    # (falls back to the first — compile included — for single-epoch runs).
+    profile_epoch = None
+    if args.profile_dir:
+        profile_epoch = min(engine.epoch + 1, cfg.epochs - 1)
     for epoch in range(engine.epoch, cfg.epochs):
         t0 = time.time()
-        if args.profile_dir and epoch == first_epoch:
-            # One warm-up epoch keeps compilation out of the trace (the
-            # profiled run therefore trains one extra epoch).
+        if epoch == profile_epoch:
             from heat_tpu.utils.profiling import trace
 
-            engine.train_one_epoch()
             with trace(args.profile_dir):
                 loss = engine.train_one_epoch()
         else:

@@ -90,9 +90,11 @@ def pool_history(
         logits = jnp.einsum("bhd,bd->bh", his_embs, u) * scale
     else:
         raise ValueError(f"unknown aggregator {kind!r}")
-    # Keep slot 0 un-masked so the softmax is never all -inf (empty
-    # histories have all-zero padding rows, datasets.py:47-61, so slot 0
-    # contributes zeros); the final where() zeroes those users exactly.
+    # Keep slot 0 un-masked so the softmax is never all -inf and can emit
+    # no NaN (whose cotangent would poison attn_q/u even through a
+    # selecting where()). For empty-history users slot 0 holds padding id 0
+    # — a REAL item row — so the final where() on mask is what actually
+    # zeroes their pooled output; do not remove it.
     never_empty = valid | (pos == 0)
     logits = jnp.where(never_empty, logits, jnp.asarray(-1e9, logits.dtype))
     attn = jax.nn.softmax(logits, axis=-1)

@@ -13,7 +13,7 @@ random 512 B reads); this per-row-DMA kernel is ~10x SLOWER because the
 scalar DMA-issue loop costs ~35 ns/row and serializes. The production
 gather path therefore stays on XLA; the framework attacks embedding-read
 cost algorithmically instead (per-epoch history-mean caching — see
-CFConfig.his_refresh and engine.compute_user_means). These kernels are
+CFConfig.his_refresh and engine.compute_user_pools). These kernels are
 kept as verified-correct references for future Mosaic work (e.g. a
 vectorized gather primitive) and for the eval top-k fusion experiments.
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -92,3 +93,76 @@ class Recommender:
         """(len(user_ids), k) top item ids for the requested users."""
         ids = self.recommend_all(k, aggregate_users=aggregate_users)
         return ids[np.asarray(user_ids, np.int64)]
+
+    def recommend_cold(
+        self,
+        histories: Sequence[Sequence[int]],
+        k: int,
+        exclude_history: bool = True,
+    ) -> np.ndarray:
+        """(len(histories), k) top item ids for UNSEEN users.
+
+        A cold user has no trained embedding row; SimpleX's behavior
+        aggregation provides a pure-history user vector,
+        ``u = (1 - gamma) * pool(history) @ w0`` (the ``gamma * u`` blend
+        term vanishes without a trained row). Pooling follows
+        cfg.aggregator; ``user_attention`` uses the history mean as the
+        query since there is no user row to attend with. Scoring is cosine
+        against the item table; the provided history is masked out when
+        ``exclude_history``.
+        """
+        from heat_tpu.models.aggregator import pool_history
+
+        n = len(histories)
+        if n == 0:
+            return np.zeros((0, k), np.int32)
+        h = max(1, max(len(hist) for hist in histories))
+        ids = np.zeros((n, h), np.int32)
+        masks = np.zeros((n,), np.int32)
+        for i, hist in enumerate(histories):
+            hist = np.asarray(hist, np.int32)
+            ids[i, : len(hist)] = hist
+            masks[i] = len(hist)
+        item_emb = self.state.item_emb
+        compute = item_emb.dtype
+        his_embs = item_emb[jnp.asarray(ids)]
+        masks_j = jnp.asarray(masks)
+        if self.cfg.aggregator == "user_attention":
+            query = pool_history(his_embs, masks_j, kind="mean")
+            pooled = pool_history(
+                his_embs, masks_j, u=query, kind="user_attention"
+            )
+        else:
+            pooled = pool_history(
+                his_embs,
+                masks_j,
+                attn_q=(
+                    None
+                    if self.state.attn_q is None
+                    else self.state.attn_q.astype(compute)
+                ),
+                kind=self.cfg.aggregator,
+            )
+        u = (1.0 - self.cfg.gamma) * jnp.dot(
+            pooled, self.state.w0.astype(compute)
+        )
+        u = u / jnp.maximum(
+            jnp.linalg.norm(u.astype(jnp.float32), axis=1, keepdims=True),
+            1e-12,
+        ).astype(compute)
+        it = item_emb / jnp.maximum(
+            jnp.linalg.norm(
+                item_emb.astype(jnp.float32), axis=1, keepdims=True
+            ),
+            1e-12,
+        ).astype(compute)
+        sims = jnp.dot(u, it.T).astype(jnp.float32)  # (n, I)
+        if exclude_history:
+            rows = jnp.repeat(jnp.arange(n, dtype=jnp.int32), h)
+            cols = jnp.asarray(ids).reshape(-1)
+            pos = jnp.arange(h, dtype=jnp.int32)[None, :].repeat(n, 0).reshape(-1)
+            valid = pos < masks_j[rows]
+            cols = jnp.where(valid, cols, item_emb.shape[0])  # drop padding
+            sims = sims.at[rows, cols].set(-np.inf, mode="drop")
+        _, top = jax.lax.top_k(sims, k)
+        return np.asarray(top)

@@ -113,16 +113,6 @@ def compute_user_pools(
     return pooled.reshape(u_pad, item_emb.shape[1])[:u]
 
 
-def compute_user_means(
-    item_emb: jnp.ndarray,
-    his_items: jnp.ndarray,
-    his_masks: jnp.ndarray,
-    chunk: int = 4096,
-) -> jnp.ndarray:
-    """Mean-pooling special case of :func:`compute_user_pools`."""
-    return compute_user_pools(item_emb, his_items, his_masks, chunk=chunk)
-
-
 @functools.partial(jax.jit, static_argnames=("num_batches", "batch"))
 def _permute_batches(
     key: jax.Array, pairs: jnp.ndarray, num_batches: int, batch: int

@@ -167,15 +167,14 @@ def test_attention_aggregator_trains(data, agg):
     assert m["Recall(k=20)"] > 0.15, m
 
 
-@pytest.mark.parametrize("agg", ["self_attention", "user_attention"])
-def test_attention_with_cached_pools_and_tile_sampler(data, agg):
+def test_user_attention_with_cached_pools_and_tile_sampler(data):
     # his_refresh=subepoch caches the attention-pooled history per epoch
     # (refresh-time query) — the fast path must stay numerically sane and
     # keep learning under the tile sampler too.
     train, test = data
     eng = Engine(
         _cfg(
-            aggregator=agg,
+            aggregator="user_attention",
             his_refresh="subepoch",
             neg_sampler=1,
             tile_size=128,
@@ -187,6 +186,21 @@ def test_attention_with_cached_pools_and_tile_sampler(data, agg):
     losses = [eng.train_one_epoch() for _ in range(6)]
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_self_attention_rejects_cached_pools():
+    # Under cached pooling attn_q's only gradient path is severed; the
+    # config must refuse rather than silently train a frozen random query.
+    with pytest.raises(ValueError, match="self_attention"):
+        _cfg(aggregator="self_attention", his_refresh="subepoch")
+
+
+def test_self_attention_query_actually_trains(data):
+    train, _ = data
+    eng = Engine(_cfg(aggregator="self_attention"), train)
+    q0 = np.asarray(eng.state.attn_q).copy()
+    eng.train_one_epoch()
+    assert np.abs(np.asarray(eng.state.attn_q) - q0).max() > 0
 
 
 def test_compute_user_pools_matches_pool_history(data):

@@ -44,3 +44,37 @@ def test_recommender_masks_seen_and_finds_structure():
     # aggregated-user variant also works
     ids2 = rec.recommend([0], k=5, aggregate_users=True)
     assert ids2.shape == (1, 5)
+
+
+def test_recommend_cold_from_history():
+    """Cold-start: users scored purely from a history list (no trained
+    row) must recover their held-out items above chance and never
+    recommend the provided history back."""
+    train, test = synthetic_click_dataset(
+        num_users=120, num_items=300, clicks_per_user=25, max_his=8, seed=6
+    )
+    cfg = CFConfig(
+        emb_dim=16, num_negs=8, max_his=8, l_r=0.05, batch_size=256, seed=2
+    )
+    eng = Engine(cfg, train, test)
+    for _ in range(6):
+        eng.train_one_epoch()
+    rec = Recommender(eng.state, cfg, seen_pairs=train.pairs)
+
+    # Treat existing users as cold: feed only their click history.
+    user_hist = [[] for _ in range(120)]
+    for u, i in train.pairs:
+        user_hist[u].append(int(i))
+    ids = rec.recommend_cold(user_hist, k=20)
+    assert ids.shape == (120, 20)
+    hits = 0
+    for u in range(120):
+        row = set(map(int, ids[u]))
+        assert not (row & set(user_hist[u])), "history leaked into top-k"
+        hits += len(row & set(test.user_items[u]))
+    total_true = sum(len(t) for t in test.user_items)
+    assert hits / total_true > 0.10, hits / total_true
+
+    # Empty input and empty history are well-defined.
+    assert rec.recommend_cold([], k=5).shape == (0, 5)
+    assert rec.recommend_cold([[]], k=5).shape == (1, 5)
