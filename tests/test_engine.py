@@ -192,3 +192,30 @@ def test_evaluate0_matches_embedding_product(data):
     sim = eng.evaluate0()
     want = np.asarray(eng.state.user_emb) @ np.asarray(eng.state.item_emb).T
     np.testing.assert_allclose(sim, want, rtol=1e-4, atol=1e-5)
+
+
+def test_kitchen_sink_config_trains(data):
+    """Every knob at once: sub-epoch partitioning + tile sampler + cached
+    pools + adam + user-attention + bf16 compute. Guards against feature
+    interactions that each pairwise test would miss."""
+    train, test = data
+    eng = Engine(
+        small_cfg(
+            num_subepochs=2,
+            neg_sampler=1,
+            tile_size=64,
+            refresh_interval=512,
+            his_refresh="subepoch",
+            optimizer="adam",
+            aggregator="user_attention",
+            compute_dtype="bfloat16",
+            l_r=0.01,
+        ),
+        train,
+        test,
+    )
+    losses = [eng.train_one_epoch() for _ in range(5)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    m = eng.evaluate()
+    assert m["Recall(k=20)"] > 0.08, m
