@@ -20,7 +20,9 @@ import subprocess
 import sys
 
 
-def worker(num_procs: int, proc_id: int, port: int) -> None:
+def worker(
+    num_procs: int, proc_id: int, port: int, variant: str = "base"
+) -> None:
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
@@ -58,10 +60,23 @@ def worker(num_procs: int, proc_id: int, port: int) -> None:
     # Global mesh over all devices; hosts lie along "data" so each host's
     # user rows are host-local.
     mesh = make_mesh(num_procs * 2, 2, jax.devices())
-    cfg = CFConfig(
+    kw = dict(
         emb_dim=8, num_negs=4, max_his=6, l_r=0.05, batch_size=32, seed=3,
         metrics=["Recall(k=20)"],
     )
+    if variant == "full":
+        # Cross-process coverage of the optimizer slots (sharded moment
+        # tables), attention pooling, tile sampler, and cached pools.
+        kw.update(
+            optimizer="adam",
+            aggregator="user_attention",
+            neg_sampler=1,
+            tile_size=32,
+            refresh_interval=128,
+            his_refresh="subepoch",
+            l_r=0.01,
+        )
+    cfg = CFConfig(**kw)
     engine = Engine(cfg, local_train, local_test, mesh=mesh)
     losses = [engine.train_one_epoch() for _ in range(4)]
     m = engine.evaluate()
@@ -73,7 +88,7 @@ def worker(num_procs: int, proc_id: int, port: int) -> None:
         flush=True,
     )
     assert losses[-1] < losses[0]
-    assert m["Recall(k=20)"] > 0.1
+    assert m["Recall(k=20)"] > (0.1 if variant == "base" else 0.05)
     jax.distributed.shutdown()
 
 
@@ -82,9 +97,12 @@ def main() -> None:
     parser.add_argument("--procs", type=int, default=2)
     parser.add_argument("--port", type=int, default=45677)
     parser.add_argument("--worker", type=int, default=None)
+    parser.add_argument(
+        "--variant", type=str, default="base", choices=("base", "full")
+    )
     args = parser.parse_args()
     if args.worker is not None:
-        worker(args.procs, args.worker, args.port)
+        worker(args.procs, args.worker, args.port, args.variant)
         return
     procs = [
         subprocess.Popen(
@@ -97,6 +115,8 @@ def main() -> None:
                 str(args.port),
                 "--worker",
                 str(i),
+                "--variant",
+                args.variant,
             ],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,

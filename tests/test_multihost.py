@@ -35,3 +35,30 @@ def test_two_process_training():
     assert lines[0].split("losses")[1].split("recall")[0] == lines[
         1
     ].split("losses")[1].split("recall")[0]
+
+
+def test_two_process_training_full_variant():
+    """Adam slots, user-attention pooling, tile sampler, and cached pools
+    all sharded across two real processes."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    port = 40000 + ((os.getpid() + 1) % 20000)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(root, "scripts", "multihost_demo.py"),
+            "--procs",
+            "2",
+            "--port",
+            str(port),
+            "--variant",
+            "full",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "multihost demo ok" in proc.stdout
