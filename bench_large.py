@@ -1,0 +1,123 @@
+"""Production-scale single-chip benchmark: the huge-table code path.
+
+BASELINE.json's config 5 (100M users x 10M items, d=128) needs a multi-host
+mesh for the f32 footprint alone; tests validate that scale abstractly
+(tests/test_large_scale.py) and the sharding on a virtual mesh. This
+benchmark runs the SAME code path — tables above
+``scatter.DENSE_ROWS_THRESHOLD`` rows take the sort-dedup row updates
+instead of the dense-accumulator pass — at the largest geometry that fits
+one 16 GB v5e chip, so the path is exercised on real hardware, not just
+traced:
+
+    20M users x 8M items, d=64, bf16 tables, 50M interactions,
+    tile negative sampler + per-epoch cached history means.
+
+HBM budget (bf16 tables): user 2.56 GB + item 1.02 GB + pooled means
+2.56 GB + history 0.88 GB + pairs 0.4 GB + packed batches 0.6 GB ~= 8 GB
+steady state, leaving headroom for the (B, T) tile-score transients.
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+from heat_tpu.config import CFConfig
+from heat_tpu.data.datasets import ClickDataset
+from heat_tpu.train.engine import Engine
+from heat_tpu.train.scatter import DENSE_ROWS_THRESHOLD
+
+
+def make_dataset(
+    users: int, items: int, clicks: int, max_his: int, seed: int = 0
+) -> ClickDataset:
+    rng = np.random.default_rng(seed)
+    pairs = np.stack(
+        [rng.integers(0, users, clicks), rng.integers(0, items, clicks)],
+        axis=1,
+    ).astype(np.int32)
+    return ClickDataset(
+        pairs=pairs,
+        his_items=rng.integers(0, items, (users, max_his)).astype(np.int32),
+        masks=np.full((users,), max_his, np.int32),
+        num_users=users,
+        num_items=items,
+        max_his=max_his,
+        user_items=[],
+    )
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--users", type=int, default=20_000_000)
+    p.add_argument("--items", type=int, default=8_000_000)
+    p.add_argument("--clicks", type=int, default=50_000_000)
+    p.add_argument("--dim", type=int, default=64)
+    p.add_argument("--negs", type=int, default=16)
+    p.add_argument("--max-his", type=int, default=10)
+    p.add_argument("--batch", type=int, default=32_768)
+    p.add_argument("--tile", type=int, default=4096)
+    p.add_argument("--refresh", type=int, default=32_768)
+    p.add_argument("--reps", type=int, default=2)
+    args = p.parse_args()
+
+    dataset = make_dataset(
+        args.users, args.items, args.clicks, args.max_his
+    )
+    cfg = CFConfig(
+        emb_dim=args.dim,
+        num_negs=args.negs,
+        max_his=args.max_his,
+        batch_size=args.batch,
+        l_r=0.01,
+        clip_val=1.0,
+        milestones=[10],
+        seed=2022,
+        neg_sampler=1,
+        tile_size=args.tile,
+        refresh_interval=args.refresh,
+        his_refresh="subepoch",
+        compute_dtype="bfloat16",
+        param_dtype="bfloat16",
+    )
+    engine = Engine(cfg, dataset)
+    sorted_path = (
+        args.users > DENSE_ROWS_THRESHOLD
+        and args.items > DENSE_ROWS_THRESHOLD
+    )
+
+    loss0 = engine.train_one_epoch()  # compile + warmup
+    times = []
+    losses = [loss0]
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        losses.append(engine.train_one_epoch())
+        times.append(time.perf_counter() - t0)
+    epoch_s = float(np.median(times))
+
+    import jax
+
+    result = {
+        "metric": "large_scale_epoch_time",
+        "value": round(epoch_s, 3),
+        "unit": "s",
+        "vs_baseline": None,  # no reference number exists at this scale
+        "interactions_per_sec": round(args.clicks / epoch_s),
+        "users": args.users,
+        "items": args.items,
+        "clicks": args.clicks,
+        "emb_dim": args.dim,
+        "sorted_dedup_path": sorted_path,
+        "losses": [round(l, 4) for l in losses],
+        "device": str(jax.devices()[0].platform),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

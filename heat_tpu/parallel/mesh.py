@@ -108,10 +108,13 @@ def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
 
 
 def shard_data_arrays(mesh: Mesh, his_items, his_masks):
-    """History arrays row-sharded over the data axis (they follow users)."""
-    his_items = jax.device_put(
-        his_items, NamedSharding(mesh, P(DATA_AXIS, None))
-    )
+    """History arrays row-sharded over the data axis (they follow users).
+
+    ``his_items`` may be (U, H) or flat (U*H,) — Engine's small-``max_his``
+    layout; both shard user-major over "data".
+    """
+    his_spec = P(DATA_AXIS) if his_items.ndim == 1 else P(DATA_AXIS, None)
+    his_items = jax.device_put(his_items, NamedSharding(mesh, his_spec))
     his_masks = jax.device_put(his_masks, NamedSharding(mesh, P(DATA_AXIS)))
     return his_items, his_masks
 

@@ -60,7 +60,9 @@ def _process_local_rows(arr) -> np.ndarray:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "aggregator"))
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "aggregator", "max_his")
+)
 def compute_user_pools(
     item_emb: jnp.ndarray,
     his_items: jnp.ndarray,
@@ -69,6 +71,7 @@ def compute_user_pools(
     attn_q: Optional[jnp.ndarray] = None,
     aggregator: str = "mean",
     chunk: int = 4096,
+    max_his: Optional[int] = None,
 ) -> jnp.ndarray:
     """Per-user pooled history over the whole user table, in chunks.
 
@@ -79,38 +82,49 @@ def compute_user_pools(
     period). Supports every cfg.aggregator; the attention variants pool
     with the refresh-time query (attn_q / user rows), consistent with the
     mode's staleness contract.
+
+    ``his_items`` may be (U, H), or flat (U*H,) with ``max_his`` = H — the
+    layout Engine uses for small H, where TPU lane tiling would pad a (U, H)
+    array's minor dim to 128 (12.8x at-rest blowup for H=10 at 20M users).
+    Chunks are carved with dynamic_slice (never a reshaped/ concatenated
+    copy of the whole table — at large U those temps OOM the chip).
     """
     from heat_tpu.models.aggregator import pool_history
 
-    u, h = his_items.shape
-    u_pad = -(-u // chunk) * chunk
-    if u_pad != u:
-        his_items = jnp.concatenate(
-            [his_items, jnp.zeros((u_pad - u, h), his_items.dtype)]
-        )
-        his_masks = jnp.concatenate(
-            [his_masks, jnp.zeros((u_pad - u,), his_masks.dtype)]
-        )
-    xs = [
-        his_items.reshape(u_pad // chunk, chunk, h),
-        his_masks.reshape(u_pad // chunk, chunk),
-    ]
-    if aggregator == "user_attention":
-        if u_pad != u:
-            user_emb = jnp.concatenate(
-                [user_emb, jnp.zeros((u_pad - u, user_emb.shape[1]), user_emb.dtype)]
-            )
-        xs.append(user_emb.reshape(u_pad // chunk, chunk, user_emb.shape[1]))
+    if his_items.ndim == 1:
+        if max_his is None:
+            raise ValueError("flat his_items requires max_his")
+        h = max_his
+        u = his_items.shape[0] // h
+    else:
+        u, h = his_items.shape
+    d = item_emb.shape[1]
+    chunk = min(chunk, u)
+    n_chunks = -(-u // chunk)
 
-    def body(_, xs):
-        ids, mask = xs[0], xs[1]
-        urows = xs[2] if len(xs) > 2 else None
-        return None, pool_history(
+    def body(i, out):
+        start = i * chunk  # dynamic_slice clamps the last, partial chunk to
+        # u - chunk; every slice below clamps to the same row offset, so the
+        # overlap rows are simply recomputed with identical values.
+        if his_items.ndim == 1:
+            ids = jax.lax.dynamic_slice(
+                his_items, (start * h,), (chunk * h,)
+            ).reshape(chunk, h)
+        else:
+            ids = jax.lax.dynamic_slice(his_items, (start, 0), (chunk, h))
+        mask = jax.lax.dynamic_slice(his_masks, (start,), (chunk,))
+        urows = None
+        if aggregator == "user_attention":
+            urows = jax.lax.dynamic_slice(
+                user_emb, (start, 0), (chunk, user_emb.shape[1])
+            )
+        pooled = pool_history(
             item_emb[ids], mask, u=urows, attn_q=attn_q, kind=aggregator
         )
+        return jax.lax.dynamic_update_slice(out, pooled, (start, 0))
 
-    _, pooled = jax.lax.scan(body, None, tuple(xs))
-    return pooled.reshape(u_pad, item_emb.shape[1])[:u]
+    out = jnp.zeros((u, d), item_emb.dtype)
+    return jax.lax.fori_loop(0, n_chunks, body, out)
 
 
 @functools.partial(jax.jit, static_argnames=("num_batches", "batch"))
@@ -181,7 +195,17 @@ class Engine:
         self.sampler_state = init_sampler_state(cfg, k_sampler)
 
         self.pairs = jnp.asarray(train_data.pairs, jnp.int32)
-        self.his_items = jnp.asarray(train_data.his_items, jnp.int32)
+        # TPU tiling pads a (U, H) int32 array's minor dim to 128 lanes —
+        # 12.8x at-rest memory for H=10. Store the history flat (U*H,) when
+        # the padding waste is material; train_step/compute_user_pools
+        # dispatch on ndim (gather arithmetic identical).
+        his_np = np.asarray(train_data.his_items, np.int32)
+        # (train_step's flat gather strides by cfg.max_his, so only flatten
+        # when the dataset's history width actually matches it.)
+        self._flat_his = cfg.max_his < 64 and his_np.shape[1] == cfg.max_his
+        if self._flat_his:
+            his_np = his_np.reshape(-1)
+        self.his_items = jnp.asarray(his_np)
         self.his_masks = jnp.asarray(train_data.masks, jnp.int32)
 
         self._multiprocess = mesh is not None and jax.process_count() > 1
@@ -224,14 +248,19 @@ class Engine:
                         "multi-host runs require num_users divisible by the "
                         f"data axis ({self._data_axis_size})"
                     )
+                his_local = np.asarray(train_data.his_items, np.int32)
+                if self._flat_his:
+                    his_local = his_local.reshape(-1)
                 self.his_items = jax.make_array_from_process_local_data(
-                    row_sh, np.asarray(train_data.his_items)
+                    vec_sh if self._flat_his else row_sh, his_local
                 )
                 self.his_masks = jax.make_array_from_process_local_data(
                     vec_sh, np.asarray(train_data.masks)
                 )
             else:
-                self.his_items = jax.device_put(self.his_items, row_sh)
+                self.his_items = jax.device_put(
+                    self.his_items, vec_sh if self._flat_his else row_sh
+                )
                 self.his_masks = jax.device_put(self.his_masks, vec_sh)
         else:
             self._batch_sharding = None
@@ -260,6 +289,7 @@ class Engine:
             ),
             attn_q=self.state.attn_q,
             aggregator=cfg.aggregator,
+            max_his=cfg.max_his,
         )
 
     def _next_key(self) -> jax.Array:

@@ -132,7 +132,17 @@ def train_step(
     if user_means is not None:
         pooled_const = jax.lax.stop_gradient(user_means[users]).astype(compute)
     else:
-        his_ids = his_items[users]                   # (B, H)
+        if his_items.ndim == 1:
+            # Flat (U*H,) layout (small max_his — see Engine/
+            # compute_user_pools: avoids the 128-lane padding of a narrow
+            # (U, H) array).
+            h = cfg.max_his
+            his_ids = his_items[
+                users[:, None] * h
+                + jnp.arange(h, dtype=users.dtype)[None, :]
+            ]
+        else:
+            his_ids = his_items[users]               # (B, H)
         his_embs = jax.lax.stop_gradient(item_emb[his_ids]).astype(compute)
         his_mask_b = his_masks[users]
         if cfg.aggregator == "mean":

@@ -207,20 +207,25 @@ def test_compute_user_pools_matches_pool_history(data):
     train, _ = data
     cfg = _cfg(aggregator="user_attention")
     eng = Engine(cfg, train)
-    pooled = compute_user_pools(
-        eng.state.item_emb,
-        eng.his_items,
-        eng.his_masks,
-        user_emb=eng.state.user_emb,
-        aggregator="user_attention",
-        chunk=64,  # force multiple chunks + padding
-    )
+    his_2d = jnp.asarray(train.his_items, jnp.int32)
     direct = pool_history(
-        eng.state.item_emb[eng.his_items],
+        eng.state.item_emb[his_2d],
         eng.his_masks,
         u=eng.state.user_emb,
         kind="user_attention",
     )
-    np.testing.assert_allclose(
-        np.asarray(pooled), np.asarray(direct), rtol=1e-5, atol=1e-6
-    )
+    for his, max_his in ((his_2d, None), (eng.his_items, cfg.max_his)):
+        # eng.his_items is the flat (U*H,) layout (small max_his); both
+        # layouts must pool identically.
+        pooled = compute_user_pools(
+            eng.state.item_emb,
+            his,
+            eng.his_masks,
+            user_emb=eng.state.user_emb,
+            aggregator="user_attention",
+            chunk=64,  # force multiple chunks + a clamped partial chunk
+            max_his=max_his,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pooled), np.asarray(direct), rtol=1e-5, atol=1e-6
+        )

@@ -219,3 +219,49 @@ def test_kitchen_sink_config_trains(data):
     assert losses[-1] < losses[0], losses
     m = eng.evaluate()
     assert m["Recall(k=20)"] > 0.08, m
+
+
+def test_flat_history_layout_equivalent(data):
+    """Engine stores history flat (U*H,) for small max_his (TPU lane-padding
+    avoidance); the flat gather in train_step must reproduce the (U, H)
+    row-gather bit-for-bit through a real train step."""
+    import jax
+    import jax.numpy as jnp
+
+    from heat_tpu.models.state import init_train_state
+    from heat_tpu.train.samplers import init_sampler_state
+    from heat_tpu.train.train_step import Batch, train_step
+
+    train, _ = data
+    cfg = small_cfg(his_refresh="step")
+    cfg.num_users = train.num_users
+    cfg.num_items = train.num_items
+    key = jax.random.key(3)
+    state = init_train_state(cfg, key)
+    ss = init_sampler_state(cfg, key)
+    his2d = jnp.asarray(train.his_items, jnp.int32)
+    masks = jnp.asarray(train.masks, jnp.int32)
+    b = cfg.batch_size
+    users = jax.random.randint(key, (b,), 0, cfg.num_users, dtype=jnp.int32)
+    pos = jax.random.randint(key, (b,), 0, cfg.num_items, dtype=jnp.int32)
+    batch = Batch(users, pos, jnp.ones((b,), jnp.float32))
+
+    s2d, _, loss2d = train_step(state, ss, key, batch, his2d, masks, cfg)
+    sflat, _, lossflat = train_step(
+        state, ss, key, batch, his2d.reshape(-1), masks, cfg
+    )
+    assert float(loss2d) == float(lossflat)
+    np.testing.assert_array_equal(
+        np.asarray(s2d.user_emb), np.asarray(sflat.user_emb)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s2d.item_emb), np.asarray(sflat.item_emb)
+    )
+
+
+def test_engine_uses_flat_history_for_small_max_his(data):
+    train, _ = data
+    eng = Engine(small_cfg(), train)  # max_his=10 < 64 -> flat
+    assert eng.his_items.ndim == 1
+    big = Engine(small_cfg(max_his=64), train)
+    assert big.his_items.ndim == 2
