@@ -9,12 +9,15 @@ instead of the dense-accumulator pass — at the largest geometry that fits
 one 16 GB v5e chip, so the path is exercised on real hardware, not just
 traced:
 
-    20M users x 8M items, d=64, bf16 tables, 50M interactions,
+    16M users x 6M items, d=64, bf16 tables, 40M interactions,
     tile negative sampler + per-epoch cached history means.
 
-HBM budget (bf16 tables): user 2.56 GB + item 1.02 GB + pooled means
-2.56 GB + history 0.88 GB + pairs 0.4 GB + packed batches 0.6 GB ~= 8 GB
-steady state, leaving headroom for the (B, T) tile-score transients.
+HBM budget: TPU tiling pads a (N, 64) bf16 array's minor dim to 128 lanes,
+so every table row costs 256 B at rest regardless of bf16 — user 3.8 GB +
+pooled means 3.8 GB + item 1.4 GB + flat history 0.64 GB + pairs 0.32 GB +
+packed batches 0.5 GB ~= 10.5 GB steady state, leaving ~4 GB for the
+(B, T) tile-score transients and scan temporaries. (20M x 8M compiles but
+crashes the worker at runtime — 14.7 GB steady state leaves no margin.)
 
 Prints exactly one JSON line.
 """
@@ -54,14 +57,14 @@ def make_dataset(
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--users", type=int, default=20_000_000)
-    p.add_argument("--items", type=int, default=8_000_000)
-    p.add_argument("--clicks", type=int, default=50_000_000)
+    p.add_argument("--users", type=int, default=16_000_000)
+    p.add_argument("--items", type=int, default=6_000_000)
+    p.add_argument("--clicks", type=int, default=40_000_000)
     p.add_argument("--dim", type=int, default=64)
     p.add_argument("--negs", type=int, default=16)
     p.add_argument("--max-his", type=int, default=10)
     p.add_argument("--batch", type=int, default=32_768)
-    p.add_argument("--tile", type=int, default=4096)
+    p.add_argument("--tile", type=int, default=2048)
     p.add_argument("--refresh", type=int, default=32_768)
     p.add_argument("--reps", type=int, default=2)
     args = p.parse_args()

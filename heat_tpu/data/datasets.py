@@ -219,6 +219,46 @@ class ClickDataset:
             )
 
 
+def load_with_cache(
+    path: str,
+    max_his: int,
+    separator: str = " ",
+    num_items: Optional[int] = None,
+    seed: Optional[int] = None,
+    cache: bool = True,
+) -> "ClickDataset":
+    """``ClickDataset.from_file`` with a transparent ``.npz`` sidecar cache.
+
+    The cache file lives next to the source
+    (``<path>.heat-<max_his>-<seed>-<num_items>.npz``) and is rebuilt
+    whenever the source is newer — so large datasets parse once, then
+    reload in milliseconds. The parametrization is part of the file name
+    because history sampling depends on (max_his, seed) and test splits
+    inherit the train split's item space.
+    """
+    if not cache:
+        return ClickDataset.from_file(
+            path, max_his, separator=separator, num_items=num_items, seed=seed
+        )
+    tag = f"heat-{max_his}-{seed}-{num_items}"
+    cache_path = f"{path}.{tag}.npz"
+    if os.path.exists(cache_path) and os.path.getmtime(
+        cache_path
+    ) >= os.path.getmtime(path):
+        try:
+            return ClickDataset.load(cache_path)
+        except Exception:
+            pass  # corrupt/stale cache: fall through and rebuild
+    ds = ClickDataset.from_file(
+        path, max_his, separator=separator, num_items=num_items, seed=seed
+    )
+    try:
+        ds.save(cache_path)
+    except OSError:
+        pass  # read-only data dir: just skip caching
+    return ds
+
+
 def user_range_bounds(num_users: int, nproc: int, rank: int) -> tuple:
     """[start, end) of rank's contiguous user range (cf/main.py:51-57:
     the first ``num_users % nproc`` ranks get one extra user)."""

@@ -25,7 +25,7 @@ import time
 import yaml
 
 from heat_tpu.config import load_config
-from heat_tpu.data.datasets import ClickDataset, shard_by_user_range
+from heat_tpu.data.datasets import load_with_cache, shard_by_user_range
 from heat_tpu.data.synthetic import synthetic_click_dataset
 from heat_tpu.train.engine import Engine
 
@@ -58,6 +58,11 @@ def main(argv=None) -> None:
         default=None,
         help="capture a jax.profiler device trace of epoch 0 into this dir "
         "(view with tensorboard or xprof)",
+    )
+    parser.add_argument(
+        "--no-data-cache",
+        action="store_true",
+        help="disable the .npz sidecar cache of parsed click files",
     )
     parser.add_argument(
         "--set",
@@ -100,16 +105,17 @@ def main(argv=None) -> None:
                 "(user item1 item2 ... lines), or pass --synthetic U,I to "
                 "train on generated data."
             )
-        train_data = ClickDataset.from_file(
+        train_data = load_with_cache(
             train_path, max_his=cfg.max_his, separator=ds_cfg.separator,
-            seed=cfg.seed,
+            seed=cfg.seed, cache=not args.no_data_cache,
         )
-        test_data = ClickDataset.from_file(
+        test_data = load_with_cache(
             test_path,
             max_his=cfg.max_his,
             separator=ds_cfg.separator,
             num_items=train_data.num_items,
             seed=cfg.seed,
+            cache=not args.no_data_cache,
         )
         nproc = jax.process_count()
         if nproc > 1:

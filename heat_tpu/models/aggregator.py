@@ -102,6 +102,73 @@ def pool_history(
     return jnp.where(mask[:, None] > 0, pooled, jnp.zeros_like(pooled))
 
 
+def user_pools_impl(
+    item_emb: jnp.ndarray,
+    his_items: jnp.ndarray,
+    his_masks: jnp.ndarray,
+    user_emb: Optional[jnp.ndarray] = None,
+    attn_q: Optional[jnp.ndarray] = None,
+    aggregator: str = "mean",
+    chunk: int = 4096,
+    max_his: Optional[int] = None,
+) -> jnp.ndarray:
+    """Per-user pooled history over the whole user table, in chunks.
+
+    Backs cfg.his_refresh == "subepoch": one pass over U*H history rows per
+    (sub-)epoch instead of B*H rows per step (each user is revisited
+    ~train_size/U times per epoch, so this cuts the dominant gather traffic
+    by that factor at the cost of pooled-history staleness within the
+    period). Supports every cfg.aggregator; the attention variants pool
+    with the refresh-time query (attn_q / user rows), consistent with the
+    mode's staleness contract.
+
+    ``his_items`` may be (U, H), or flat (U*H,) with ``max_his`` = H — the
+    layout Engine uses for small H, where TPU lane tiling would pad a (U, H)
+    array's minor dim to 128 (12.8x at-rest blowup for H=10 at 20M users).
+    Chunks are carved with dynamic_slice (never a reshaped/ concatenated
+    copy of the whole table — at large U those temps OOM the chip).
+
+    Traceable (no jit inside): the epoch program calls this directly so the
+    means table is PRODUCED in the layout the epoch scan consumes — passing
+    it across a jit boundary instead costs a full-table layout copy (4.77 GB
+    at 20M users, measured in an OOM dump).
+    """
+    if his_items.ndim == 1:
+        if max_his is None:
+            raise ValueError("flat his_items requires max_his")
+        h = max_his
+        u = his_items.shape[0] // h
+    else:
+        u, h = his_items.shape
+    d = item_emb.shape[1]
+    chunk = min(chunk, u)
+    n_chunks = -(-u // chunk)
+
+    def body(i, out):
+        start = i * chunk  # dynamic_slice clamps the last, partial chunk to
+        # u - chunk; every slice below clamps to the same row offset, so the
+        # overlap rows are simply recomputed with identical values.
+        if his_items.ndim == 1:
+            ids = jax.lax.dynamic_slice(
+                his_items, (start * h,), (chunk * h,)
+            ).reshape(chunk, h)
+        else:
+            ids = jax.lax.dynamic_slice(his_items, (start, 0), (chunk, h))
+        mask = jax.lax.dynamic_slice(his_masks, (start,), (chunk,))
+        urows = None
+        if aggregator == "user_attention":
+            urows = jax.lax.dynamic_slice(
+                user_emb, (start, 0), (chunk, user_emb.shape[1])
+            )
+        pooled = pool_history(
+            item_emb[ids], mask, u=urows, attn_q=attn_q, kind=aggregator
+        )
+        return jax.lax.dynamic_update_slice(out, pooled, (start, 0))
+
+    out = jnp.zeros((u, d), item_emb.dtype)
+    return jax.lax.fori_loop(0, n_chunks, body, out)
+
+
 def aggregate_history(
     u: jnp.ndarray,
     means: jnp.ndarray,

@@ -70,6 +70,7 @@ class Recommender:
             ),
             attn_q=self.state.attn_q,
             aggregator=self.cfg.aggregator,
+            max_his=self.cfg.max_his,  # history may be Engine's flat layout
         )
         return aggregate_history(
             user_emb, pooled, self.state.w0, self.cfg.gamma

@@ -40,7 +40,7 @@ from heat_tpu.models.state import (
     init_train_state,
     zero_grad_accumulators,
 )
-from heat_tpu.models.aggregator import aggregate_history
+from heat_tpu.models.aggregator import aggregate_history, user_pools_impl
 from heat_tpu.train.optimizer import scheduled_lr
 from heat_tpu.train.samplers import derive_tile_params, init_sampler_state
 from heat_tpu.train.train_step import make_epoch_fn
@@ -60,71 +60,11 @@ def _process_local_rows(arr) -> np.ndarray:
     )
 
 
-@functools.partial(
+# Chunked whole-table pooling (backs cfg.his_refresh == "subepoch"); the
+# implementation lives next to the pooling math in models/aggregator.py.
+compute_user_pools = functools.partial(
     jax.jit, static_argnames=("chunk", "aggregator", "max_his")
-)
-def compute_user_pools(
-    item_emb: jnp.ndarray,
-    his_items: jnp.ndarray,
-    his_masks: jnp.ndarray,
-    user_emb: Optional[jnp.ndarray] = None,
-    attn_q: Optional[jnp.ndarray] = None,
-    aggregator: str = "mean",
-    chunk: int = 4096,
-    max_his: Optional[int] = None,
-) -> jnp.ndarray:
-    """Per-user pooled history over the whole user table, in chunks.
-
-    Backs cfg.his_refresh == "subepoch": one pass over U*H history rows per
-    (sub-)epoch instead of B*H rows per step (each user is revisited
-    ~train_size/U times per epoch, so this cuts the dominant gather traffic
-    by that factor at the cost of pooled-history staleness within the
-    period). Supports every cfg.aggregator; the attention variants pool
-    with the refresh-time query (attn_q / user rows), consistent with the
-    mode's staleness contract.
-
-    ``his_items`` may be (U, H), or flat (U*H,) with ``max_his`` = H — the
-    layout Engine uses for small H, where TPU lane tiling would pad a (U, H)
-    array's minor dim to 128 (12.8x at-rest blowup for H=10 at 20M users).
-    Chunks are carved with dynamic_slice (never a reshaped/ concatenated
-    copy of the whole table — at large U those temps OOM the chip).
-    """
-    from heat_tpu.models.aggregator import pool_history
-
-    if his_items.ndim == 1:
-        if max_his is None:
-            raise ValueError("flat his_items requires max_his")
-        h = max_his
-        u = his_items.shape[0] // h
-    else:
-        u, h = his_items.shape
-    d = item_emb.shape[1]
-    chunk = min(chunk, u)
-    n_chunks = -(-u // chunk)
-
-    def body(i, out):
-        start = i * chunk  # dynamic_slice clamps the last, partial chunk to
-        # u - chunk; every slice below clamps to the same row offset, so the
-        # overlap rows are simply recomputed with identical values.
-        if his_items.ndim == 1:
-            ids = jax.lax.dynamic_slice(
-                his_items, (start * h,), (chunk * h,)
-            ).reshape(chunk, h)
-        else:
-            ids = jax.lax.dynamic_slice(his_items, (start, 0), (chunk, h))
-        mask = jax.lax.dynamic_slice(his_masks, (start,), (chunk,))
-        urows = None
-        if aggregator == "user_attention":
-            urows = jax.lax.dynamic_slice(
-                user_emb, (start, 0), (chunk, user_emb.shape[1])
-            )
-        pooled = pool_history(
-            item_emb[ids], mask, u=urows, attn_q=attn_q, kind=aggregator
-        )
-        return jax.lax.dynamic_update_slice(out, pooled, (start, 0))
-
-    out = jnp.zeros((u, d), item_emb.dtype)
-    return jax.lax.fori_loop(0, n_chunks, body, out)
+)(user_pools_impl)
 
 
 @functools.partial(jax.jit, static_argnames=("num_batches", "batch"))
@@ -349,10 +289,9 @@ class Engine:
             return 0.0
         with self.timer.phase("data"):
             users, pos, weight = self._make_batches(pairs)
-        user_means = None
-        if cfg.his_refresh == "subepoch":
-            with self.timer.phase("aggr_f"):
-                user_means = self._pooled_history()
+        # cfg.his_refresh == "subepoch" pooling ("aggr_f") happens inside
+        # the epoch program (make_epoch_fn) so the means table materializes
+        # in the scan's own layout — no cross-jit full-table copy.
         with self.timer.phase("f_b"):
             self.state, self.sampler_state, loss_sum = self._epoch_fn(
                 self.state,
@@ -364,7 +303,6 @@ class Engine:
                 self.his_items,
                 self.his_masks,
                 neg_candidates,
-                user_means,
             )
             loss_sum = float(loss_sum)
         return loss_sum

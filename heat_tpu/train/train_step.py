@@ -348,7 +348,13 @@ def make_epoch_fn(cfg: CFConfig):
     State and sampler state are donated, so an epoch is one device program
     with no host round-trips (the reference's epoch loop crosses the
     Python/C++ boundary once per epoch, engine.cpp:67; we match that).
+
+    In cfg.his_refresh == "subepoch" mode the (U, d) pooled-history table is
+    computed INSIDE this program (from the donated state) rather than passed
+    in: produced in the layout the scan consumes, it needs no cross-jit
+    layout copy — at 20M users that copy alone is 4.77 GB of HBM (measured).
     """
+    from heat_tpu.models.aggregator import user_pools_impl
 
     def epoch_fn(
         state,
@@ -360,10 +366,24 @@ def make_epoch_fn(cfg: CFConfig):
         his_items,
         his_masks,
         neg_candidates=None,
-        user_means=None,
     ):
         num_batches = users.shape[0]
         keys = jax.random.split(key, num_batches)
+        user_means = None
+        if cfg.his_refresh == "subepoch":
+            user_means = user_pools_impl(
+                state.item_emb,
+                his_items,
+                his_masks,
+                user_emb=(
+                    state.user_emb
+                    if cfg.aggregator == "user_attention"
+                    else None
+                ),
+                attn_q=state.attn_q,
+                aggregator=cfg.aggregator,
+                max_his=cfg.max_his,
+            )
 
         def body(carry, xs):
             state, sampler_state = carry

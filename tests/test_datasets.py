@@ -114,3 +114,29 @@ def test_synthetic_dataset_shapes():
     # train/test disjoint per user
     for tr, te in zip(train.user_items, test.user_items):
         assert not (set(tr) & set(te))
+
+
+def test_load_with_cache(tmp_path):
+    from heat_tpu.data.datasets import load_with_cache
+
+    p = tmp_path / "train.txt"
+    p.write_text("0 5 3\n1 1 2 3\n")
+    ds = load_with_cache(str(p), max_his=4, seed=7)
+    caches = list(tmp_path.glob("train.txt.heat-*.npz"))
+    assert len(caches) == 1
+    # Second load hits the cache and reproduces the dataset exactly.
+    again = load_with_cache(str(p), max_his=4, seed=7)
+    np.testing.assert_array_equal(again.pairs, ds.pairs)
+    np.testing.assert_array_equal(again.his_items, ds.his_items)
+    # Different parametrization gets its own cache file (history sampling
+    # depends on max_his/seed).
+    load_with_cache(str(p), max_his=2, seed=7)
+    assert len(list(tmp_path.glob("train.txt.heat-*.npz"))) == 2
+    # A newer source invalidates the cache.
+    import os, time
+
+    time.sleep(0.01)
+    p.write_text("0 5\n")
+    os.utime(p)
+    fresh = load_with_cache(str(p), max_his=4, seed=7)
+    assert fresh.train_size == 1

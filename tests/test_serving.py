@@ -78,3 +78,36 @@ def test_recommend_cold_from_history():
     # Empty input and empty history are well-defined.
     assert rec.recommend_cold([], k=5).shape == (0, 5)
     assert rec.recommend_cold([[]], k=5).shape == (1, 5)
+
+
+def test_recommender_accepts_engine_flat_history():
+    """Engine stores history flat (U*H,) for small max_his; Recommender's
+    aggregate_users path must accept that layout (and match the 2-D one)."""
+    train, _ = synthetic_click_dataset(
+        num_users=60, num_items=150, clicks_per_user=12, max_his=6, seed=4
+    )
+    cfg = CFConfig(
+        emb_dim=16, num_negs=4, max_his=6, l_r=0.05, batch_size=128, seed=2
+    )
+    eng = Engine(cfg, train)
+    eng.train_one_epoch()
+    assert eng.his_items.ndim == 1  # the flat layout is what's under test
+
+    rec_flat = Recommender(
+        eng.state,
+        cfg,
+        seen_pairs=train.pairs,
+        his_items=eng.his_items,
+        his_masks=eng.his_masks,
+    )
+    rec_2d = Recommender(
+        eng.state,
+        cfg,
+        seen_pairs=train.pairs,
+        his_items=train.his_items,
+        his_masks=train.masks,
+    )
+    np.testing.assert_array_equal(
+        rec_flat.recommend_all(10, aggregate_users=True),
+        rec_2d.recommend_all(10, aggregate_users=True),
+    )
