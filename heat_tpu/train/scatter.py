@@ -74,6 +74,7 @@ def apply_row_updates(
     gacc: Optional[jnp.ndarray] = None,
     decay: float = 1.0,
     l2: float = 0.0,
+    writeback: Optional[jnp.ndarray] = None,
 ) -> tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """SGD row update with elementwise clip and optional accumulation.
 
@@ -88,6 +89,17 @@ def apply_row_updates(
     rescales the whole accumulated user-grad row by gamma on every visit
     (behavior_aggregators.cpp:148-152); 1.0 for item tables.
 
+    writeback: optional (M, d) replacement rows conceptually written to
+    ``table[ids]`` BEFORE the update (the user table's aggregated-embedding
+    write-back, matrix_factorization.cpp:166-174). On the sorted (huge-
+    table) path the write-back and the update fuse into ONE row scatter —
+    the scatter is the dominant per-step cost there (~170 ns/row measured
+    on v5e at 16M-row tables). For a duplicated id the surviving write-back
+    row is the first occurrence in sorted order (the separate-set version's
+    winner is whichever duplicate XLA picks; both are valid under the
+    batch-mode semantics, where every occurrence reads the same pre-batch
+    row). Batch mode only (gacc must be None).
+
     ids == table.shape[0] are padding and are dropped.
     """
     # Measured on v5e (in-scan, AmazonBooks shapes, 400-iter runs): the
@@ -96,14 +108,22 @@ def apply_row_updates(
     # table, 0.48 vs 0.66 ms/step) the sort + per-row scatter costs more
     # than the dense passes. The sort path is for huge tables only, where
     # an O(rows) pass per step is unacceptable.
+    if writeback is not None and gacc is not None:
+        raise ValueError("writeback fusion is batch-mode only (gacc=None)")
     if table.shape[0] <= DENSE_ROWS_THRESHOLD:
+        if writeback is not None:
+            # Dense path: the write-back stays a separate scatter (the
+            # dense full-table pass dominates there, not the scatter).
+            table = table.at[ids].set(
+                writeback.astype(table.dtype), mode="drop"
+            )
         return _apply_row_updates_dense(
             table, ids, grads, lr=lr, clip_val=clip_val, gacc=gacc,
             decay=decay, l2=l2,
         )
     return _apply_row_updates_sorted(
         table, ids, grads, lr=lr, clip_val=clip_val, gacc=gacc,
-        decay=decay, l2=l2,
+        decay=decay, l2=l2, writeback=writeback,
     )
 
 
@@ -180,6 +200,7 @@ def apply_row_updates_opt(
     beta2: float = 0.999,
     eps: float = 1e-8,
     l2: float = 0.0,
+    writeback: Optional[jnp.ndarray] = None,
 ) -> tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
     """Row-sparse Adagrad (m is None) / lazy Adam row update.
 
@@ -188,10 +209,16 @@ def apply_row_updates_opt(
     transform instead of plain SGD. Moments are "lazy": only touched rows
     update (torch SparseAdam semantics — untouched rows neither decay nor
     bias-correct; Adam bias correction uses the 1-based global ``step``).
+    ``writeback`` replaces ``table[ids]`` before the update (fused into the
+    one row scatter on the sorted path — see :func:`apply_row_updates`).
 
     Returns (new_table, new_m, new_v).
     """
     if table.shape[0] <= DENSE_ROWS_THRESHOLD:
+        if writeback is not None:
+            table = table.at[ids].set(
+                writeback.astype(table.dtype), mode="drop"
+            )
         return _apply_row_updates_opt_dense(
             table, ids, grads, lr=lr, clip_val=clip_val, step=step,
             m=m, v=v, beta1=beta1, beta2=beta2, eps=eps, l2=l2,
@@ -199,6 +226,7 @@ def apply_row_updates_opt(
     return _apply_row_updates_opt_sorted(
         table, ids, grads, lr=lr, clip_val=clip_val, step=step,
         m=m, v=v, beta1=beta1, beta2=beta2, eps=eps, l2=l2,
+        writeback=writeback,
     )
 
 
@@ -229,23 +257,57 @@ def _apply_row_updates_opt_dense(
     return table - (lr * upd).astype(table.dtype), new_m, new_v
 
 
+def _sorted_dedup_with_base(ids, grads, num_rows, writeback):
+    """Sorted dedup that also picks each unique id's write-back row
+    (first occurrence in sorted order). Returns (rep_ids, summed, base)."""
+    m = ids.shape[0]
+    order = jnp.argsort(ids)
+    sid = ids[order]
+    starts = jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), sid[1:] != sid[:-1]]
+    )
+    seg = jnp.cumsum(starts) - 1
+    summed = jax.ops.segment_sum(grads[order], seg, num_segments=m)
+    rep_ids = jnp.full((m,), num_rows, dtype=ids.dtype).at[seg].set(sid)
+    first_pos = (
+        jnp.full((m,), m - 1, jnp.int32)
+        .at[seg]
+        .min(jnp.arange(m, dtype=jnp.int32))
+    )
+    base = writeback[order[first_pos]].astype(jnp.float32)  # (m, d)
+    return rep_ids, summed, base
+
+
 def _apply_row_updates_opt_sorted(
-    table, ids, grads, *, lr, clip_val, step, m, v, beta1, beta2, eps, l2
+    table, ids, grads, *, lr, clip_val, step, m, v, beta1, beta2, eps, l2,
+    writeback=None,
 ):
     num_rows = table.shape[0]
-    rep_ids, summed = segment_sum_by_id(ids, grads, num_rows)
+    if writeback is None:
+        rep_ids, summed = segment_sum_by_id(ids, grads, num_rows)
+        base = None
+    else:
+        rep_ids, summed, base = _sorted_dedup_with_base(
+            ids, grads, num_rows, writeback
+        )
     safe = jnp.minimum(rep_ids, num_rows - 1)
     valid = (rep_ids < num_rows).astype(jnp.float32)[:, None]
     if l2:
-        summed = summed + l2 * table[safe].astype(jnp.float32) * valid
+        rows = base if base is not None else table[safe].astype(jnp.float32)
+        summed = summed + l2 * rows * valid
     g = jnp.clip(summed, -clip_val, clip_val) * valid
     if m is None:  # adagrad
         v_rows = v[safe]
         new_v_rows = v_rows + g * g
         upd = g / (jnp.sqrt(new_v_rows) + eps)
-        new_table = table.at[rep_ids].add(
-            (-lr * upd).astype(table.dtype), mode="drop"
-        )
+        if base is None:
+            new_table = table.at[rep_ids].add(
+                (-lr * upd).astype(table.dtype), mode="drop"
+            )
+        else:
+            new_table = table.at[rep_ids].set(
+                (base - lr * upd).astype(table.dtype), mode="drop"
+            )
         new_v = v.at[rep_ids].set(new_v_rows, mode="drop")
         return new_table, None, new_v
     t = step.astype(jnp.float32)
@@ -254,19 +316,37 @@ def _apply_row_updates_opt_sorted(
     m_hat = new_m_rows / (1.0 - beta1**t)
     v_hat = new_v_rows / (1.0 - beta2**t)
     upd = m_hat / (jnp.sqrt(v_hat) + eps) * valid
-    new_table = table.at[rep_ids].add(
-        (-lr * upd).astype(table.dtype), mode="drop"
-    )
+    if base is None:
+        new_table = table.at[rep_ids].add(
+            (-lr * upd).astype(table.dtype), mode="drop"
+        )
+    else:
+        new_table = table.at[rep_ids].set(
+            (base - lr * upd).astype(table.dtype), mode="drop"
+        )
     new_m = m.at[rep_ids].set(new_m_rows, mode="drop")
     new_v = v.at[rep_ids].set(new_v_rows, mode="drop")
     return new_table, new_m, new_v
 
 
 def _apply_row_updates_sorted(
-    table, ids, grads, *, lr, clip_val, gacc, decay, l2
+    table, ids, grads, *, lr, clip_val, gacc, decay, l2, writeback=None
 ):
     """Sort-dedup path for huge tables: O(M log M), no O(rows) pass."""
     num_rows = table.shape[0]
+    if writeback is not None:
+        # Fused write-back + update: one row scatter total.
+        rep_ids, summed, base = _sorted_dedup_with_base(
+            ids, grads, num_rows, writeback
+        )
+        if l2:
+            valid = (rep_ids < num_rows).astype(jnp.float32)[:, None]
+            summed = summed + l2 * base * valid
+        g = jnp.clip(summed, -clip_val, clip_val)
+        new_table = table.at[rep_ids].set(
+            (base - lr * g).astype(table.dtype), mode="drop"
+        )
+        return new_table, None
     rep_ids, summed = segment_sum_by_id(ids, grads, num_rows)
     if l2:
         safe = jnp.minimum(rep_ids, num_rows - 1)

@@ -207,13 +207,20 @@ def train_step(
 
     # User table: the aggregated embedding replaces the row, then the
     # optimizer step (SGD in the reference; row-sparse Adagrad/Adam here
-    # when cfg.optimizer selects them).
-    user_emb = user_emb.at[users_w].set(
-        u_agg.astype(user_emb.dtype), mode="drop"
-    )
+    # when cfg.optimizer selects them). In batch mode the write-back rides
+    # the update's own scatter (scatter.apply_row_updates writeback=...);
+    # accum mode keeps the explicit set (its update must read the
+    # persistent grad rows, not fuse).
     l2 = cfg.l2 if cfg.l2_enabled else 0.0
     opt_slots = state.opt_slots
     step1 = state.step + 1  # 1-based step for Adam bias correction
+    if state.user_gacc is not None:
+        user_emb = user_emb.at[users_w].set(
+            u_agg.astype(user_emb.dtype), mode="drop"
+        )
+        u_writeback = None
+    else:
+        u_writeback = u_agg
     if cfg.optimizer == "sgd":
         user_emb, user_gacc = apply_row_updates(
             user_emb,
@@ -224,6 +231,7 @@ def train_step(
             gacc=state.user_gacc,
             decay=cfg.gamma,  # see scatter.apply_row_updates docstring
             l2=l2,
+            writeback=u_writeback,
         )
     else:
         user_gacc = None
@@ -241,6 +249,7 @@ def train_step(
             beta2=cfg.adam_beta2,
             eps=cfg.opt_eps,
             l2=l2,
+            writeback=u_writeback,
         )
         if new_m is not None:
             opt_slots["user_m"] = new_m

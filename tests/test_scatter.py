@@ -81,3 +81,84 @@ def test_padding_ids_dropped():
         l2=0.0,
     )
     np.testing.assert_array_equal(np.asarray(td), table)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+@pytest.mark.parametrize("l2", [0.0, 0.01])
+def test_fused_writeback_matches_set_then_update(seed, l2):
+    """writeback= fuses the aggregated-row set into the update's scatter
+    (one row scatter on huge tables); must equal set-then-update exactly.
+    Duplicate ids carry IDENTICAL writeback rows (in batch mode u_agg is a
+    function of the id and the pre-batch state), so the fusion's
+    first-occurrence pick is not even observable."""
+    table, ids, grads, _ = _random_case(seed)  # has duplicates + padding
+    rng = np.random.default_rng(seed + 100)
+    # identical writeback row per unique id
+    per_id = rng.normal(size=(table.shape[0] + 1, table.shape[1])).astype(
+        np.float32
+    )
+    wb = jnp.asarray(per_id[np.minimum(ids, table.shape[0])])
+    kwargs = dict(lr=jnp.float32(0.1), clip_val=0.25, decay=1.0, l2=l2)
+
+    t_ref = jnp.asarray(table).at[jnp.asarray(ids)].set(wb, mode="drop")
+    t_ref, _ = _apply_row_updates_sorted(
+        t_ref, jnp.asarray(ids), jnp.asarray(grads), gacc=None, **kwargs
+    )
+    t_fused, _ = _apply_row_updates_sorted(
+        jnp.asarray(table),
+        jnp.asarray(ids),
+        jnp.asarray(grads),
+        gacc=None,
+        writeback=wb,
+        **kwargs,
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_ref), np.asarray(t_fused), rtol=1e-6, atol=1e-7
+    )
+
+
+@pytest.mark.parametrize("adam", [False, True])
+def test_fused_writeback_opt_matches_set_then_update(adam):
+    from heat_tpu.train.scatter import _apply_row_updates_opt_sorted
+
+    table, ids, grads, _ = _random_case(7)
+    rng = np.random.default_rng(11)
+    per_id = rng.normal(size=(table.shape[0] + 1, table.shape[1])).astype(
+        np.float32
+    )
+    wb = jnp.asarray(per_id[np.minimum(ids, table.shape[0])])
+    v = jnp.asarray(
+        rng.uniform(0.0, 0.1, size=table.shape).astype(np.float32)
+    )
+    m = (
+        jnp.asarray(rng.normal(0, 0.01, size=table.shape).astype(np.float32))
+        if adam
+        else None
+    )
+    kwargs = dict(
+        lr=jnp.float32(0.1), clip_val=0.25, step=jnp.asarray(3, jnp.int32),
+        beta1=0.9, beta2=0.999, eps=1e-8, l2=0.01,
+    )
+    t_ref = jnp.asarray(table).at[jnp.asarray(ids)].set(wb, mode="drop")
+    t_ref, m_ref, v_ref = _apply_row_updates_opt_sorted(
+        t_ref, jnp.asarray(ids), jnp.asarray(grads), m=m, v=v, **kwargs
+    )
+    t_fused, m_fused, v_fused = _apply_row_updates_opt_sorted(
+        jnp.asarray(table),
+        jnp.asarray(ids),
+        jnp.asarray(grads),
+        m=m,
+        v=v,
+        writeback=wb,
+        **kwargs,
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_ref), np.asarray(t_fused), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(v_ref), np.asarray(v_fused), rtol=1e-6, atol=1e-7
+    )
+    if adam:
+        np.testing.assert_allclose(
+            np.asarray(m_ref), np.asarray(m_fused), rtol=1e-6, atol=1e-7
+        )
