@@ -64,7 +64,10 @@ def main() -> None:
     p.add_argument("--negs", type=int, default=16)
     p.add_argument("--max-his", type=int, default=10)
     p.add_argument("--batch", type=int, default=32_768)
-    p.add_argument("--tile", type=int, default=2048)
+    # <= 0 auto-tunes (tile, refresh) per the paper-Alg.-1 analog; at batch
+    # 32768 that derives tile 128 — measured 31.0 ms/step vs 38.3 at an
+    # over-sized tile 2048 (the (B, T) score/count buffers are the cost).
+    p.add_argument("--tile", type=int, default=0)
     p.add_argument("--refresh", type=int, default=32_768)
     p.add_argument("--reps", type=int, default=2)
     args = p.parse_args()

@@ -36,7 +36,10 @@ class CheckpointManager:
         payload = {
             "state": engine.state,
             "sampler": engine.sampler_state,
-            "key": jax.random.key_data(engine._key),
+            # Host numpy, not a device array: a single-device jax.Array is
+            # "host-local" to Orbax and refuses to serialize in multi-host
+            # runs (the key is identical on every host by construction).
+            "key": np.asarray(jax.random.key_data(engine._key)),
             "epoch": np.asarray(engine.epoch, np.int64),
         }
         self._mgr.save(engine.epoch, args=ocp.args.StandardSave(payload))
@@ -63,7 +66,7 @@ class CheckpointManager:
             {
                 "state": engine.state,
                 "sampler": engine.sampler_state,
-                "key": jax.random.key_data(engine._key),
+                "key": np.asarray(jax.random.key_data(engine._key)),
                 "epoch": np.asarray(engine.epoch, np.int64),
             },
         )

@@ -19,6 +19,8 @@ import os
 import subprocess
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def worker(
     num_procs: int, proc_id: int, port: int, variant: str = "base"
@@ -78,6 +80,36 @@ def worker(
         )
     cfg = CFConfig(**kw)
     engine = Engine(cfg, local_train, local_test, mesh=mesh)
+    if variant == "checkpoint":
+        # Failure-recovery path: train, checkpoint (all hosts participate
+        # in the sharded Orbax save), "crash", rebuild + restore, continue
+        # — the continuation must reproduce the uninterrupted run exactly.
+        from heat_tpu.checkpoint import CheckpointManager
+
+        ckdir = os.environ["HEAT_DEMO_CKPT_DIR"]
+        ref_losses = [engine.train_one_epoch() for _ in range(4)]
+        engine2 = Engine(cfg, local_train, local_test, mesh=mesh)
+        half = [engine2.train_one_epoch() for _ in range(2)]
+        mgr = CheckpointManager(ckdir)
+        mgr.save(engine2)
+        mgr.close()
+        del engine2
+        engine3 = Engine(cfg, local_train, local_test, mesh=mesh)
+        mgr = CheckpointManager(ckdir)
+        assert mgr.restore_latest(engine3) == 2
+        resumed = [engine3.train_one_epoch() for _ in range(2)]
+        mgr.close()
+        got = half + resumed
+        assert all(
+            abs(a - b) < 1e-6 for a, b in zip(ref_losses, got)
+        ), (ref_losses, got)
+        print(
+            f"proc {proc_id}: checkpoint-resume losses match "
+            f"{[round(x, 5) for x in got]}",
+            flush=True,
+        )
+        jax.distributed.shutdown()
+        return
     losses = [engine.train_one_epoch() for _ in range(4)]
     m = engine.evaluate()
     m_agg = engine.evaluate(aggregate_users=True)
@@ -98,12 +130,19 @@ def main() -> None:
     parser.add_argument("--port", type=int, default=45677)
     parser.add_argument("--worker", type=int, default=None)
     parser.add_argument(
-        "--variant", type=str, default="base", choices=("base", "full")
+        "--variant", type=str, default="base",
+        choices=("base", "full", "checkpoint")
     )
     args = parser.parse_args()
     if args.worker is not None:
         worker(args.procs, args.worker, args.port, args.variant)
         return
+    if args.variant == "checkpoint" and "HEAT_DEMO_CKPT_DIR" not in os.environ:
+        import tempfile
+
+        os.environ["HEAT_DEMO_CKPT_DIR"] = tempfile.mkdtemp(
+            prefix="heat_demo_ckpt_"
+        )
     procs = [
         subprocess.Popen(
             [

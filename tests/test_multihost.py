@@ -62,3 +62,31 @@ def test_two_process_training_full_variant():
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "multihost demo ok" in proc.stdout
+
+
+def test_two_process_checkpoint_resume():
+    """Sharded Orbax save/restore across 2 real processes: the resumed run
+    reproduces the uninterrupted run's losses (failure-recovery path)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    port = 40000 + ((os.getpid() + 2) % 20000)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(root, "scripts", "multihost_demo.py"),
+            "--procs",
+            "2",
+            "--port",
+            str(port),
+            "--variant",
+            "checkpoint",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "multihost demo ok" in proc.stdout
+    assert proc.stdout.count("checkpoint-resume losses match") == 2
