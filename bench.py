@@ -157,6 +157,16 @@ def main() -> None:
         param_dtype="bfloat16",
     )
     BATCH = 8192
+    # Compute-heavy variant (BASELINE.json config 4): d=256, 64 negatives —
+    # scoring-bound rather than update-bound. Same dataset geometry; the
+    # d=256 tables re-initialize inside the engine.
+    global EMB_DIM, NUM_NEGS
+    EMB_DIM, NUM_NEGS = 256, 64
+    heavy_s, _ = time_epochs(
+        "subepoch", dataset, reps=2, neg_sampler=1, tile_size=0,
+        compute_dtype="bfloat16", param_dtype="bfloat16",
+    )
+    EMB_DIM, NUM_NEGS = 64, 16
     exact_s, _ = time_epochs("step", dataset)
     eval_s, eval_approx_s = time_eval(dataset)
     result = {
@@ -170,6 +180,7 @@ def main() -> None:
         "exact_vs_baseline": round(BASELINE_EPOCH_S / exact_s, 2),
         "throughput16k_s": round(fast16k_s, 4),
         "throughput16k_vs_baseline": round(BASELINE_EPOCH_S / fast16k_s, 2),
+        "heavy_d256_negs64_s": round(heavy_s, 4),
         "eval_topk50_s": round(eval_s, 4),
         "eval_topk50_approx99_s": round(eval_approx_s, 4),
         "times": [round(t, 4) for t in fast_times],

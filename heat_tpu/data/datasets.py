@@ -101,6 +101,16 @@ class ClickDataset:
         """
         items_per_user = [np.asarray(it, np.int32) for it in user_items]
         num_users = len(items_per_user)
+        gaps = sum(1 for it in items_per_user if len(it) == 0)
+        if gaps:
+            # Reference parity: cf/datasets.py:95-99 warns when user ids
+            # are not contiguous (absent ids get empty rows here).
+            from heat_tpu.utils.logging import get_logger
+
+            get_logger().warning(
+                "user id space is not contiguous: %d of %d ids have no "
+                "interactions (empty history rows)", gaps, num_users,
+            )
         counts = np.asarray([len(it) for it in items_per_user], np.int64)
         total = int(counts.sum())
         if total:

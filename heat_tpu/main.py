@@ -60,6 +60,12 @@ def main(argv=None) -> None:
         "(view with tensorboard or xprof)",
     )
     parser.add_argument(
+        "--breakdown",
+        action="store_true",
+        help="print the host-phase performance breakdown at the end "
+        "(the reference Engine::performance_breakdown)",
+    )
+    parser.add_argument(
         "--no-data-cache",
         action="store_true",
         help="disable the .npz sidecar cache of parsed click files",
@@ -181,6 +187,8 @@ def main(argv=None) -> None:
     metrics = engine.evaluate()
     mlog.log("final_eval", epoch=cfg.epochs, **metrics)
     mlog.close()
+    if args.breakdown:
+        print(engine.performance_breakdown())
     print(json.dumps({"final_metrics": metrics}))
 
 
