@@ -164,6 +164,18 @@ class Recommender:
             pos = jnp.arange(h, dtype=jnp.int32)[None, :].repeat(n, 0).reshape(-1)
             valid = pos < masks_j[rows]
             cols = jnp.where(valid, cols, item_emb.shape[0])  # drop padding
-            sims = sims.at[rows, cols].set(-np.inf, mode="drop")
-        _, top = jax.lax.top_k(sims, k)
+            # finfo.min, not -inf: the two-phase top-k's one-hot matmul
+            # needs finite scores.
+            sims = sims.at[rows, cols].set(
+                jnp.finfo(jnp.float32).min, mode="drop"
+            )
+        from heat_tpu.evaluation.evaluator import (
+            _TOPK_2PHASE_MIN_ITEMS,
+            exact_topk_2phase,
+        )
+
+        if sims.shape[1] >= _TOPK_2PHASE_MIN_ITEMS:
+            _, top = exact_topk_2phase(sims, k)
+        else:
+            _, top = jax.lax.top_k(sims, k)
         return np.asarray(top)

@@ -2,7 +2,11 @@
 
 import numpy as np
 
-from heat_tpu.evaluation.evaluator import full_sim_matrix, topk_scores
+from heat_tpu.evaluation.evaluator import (
+    TiledEvaluator,
+    full_sim_matrix,
+    topk_scores,
+)
 
 
 def _dense_topk(user_emb, item_emb, pairs, k):
@@ -52,3 +56,63 @@ def test_full_sim_matrix():
     u = rng.normal(size=(5, 3)).astype(np.float32)
     i = rng.normal(size=(7, 3)).astype(np.float32)
     np.testing.assert_allclose(full_sim_matrix(u, i), u @ i.T, rtol=1e-5)
+
+
+def test_exact_topk_2phase_matches_lax_topk():
+    """Window-max pre-selection must reproduce lax.top_k exactly
+    (unique random scores), across widths incl. non-multiples of 128."""
+    import jax
+    import jax.numpy as jnp
+
+    from heat_tpu.evaluation.evaluator import exact_topk_2phase
+
+    rng = np.random.default_rng(0)
+    for b, n, k in [(7, 5000, 50), (3, 4096, 10), (5, 9973, 64), (2, 300, 20)]:
+        sim = jnp.asarray(
+            rng.permutation(n * b).reshape(b, n).astype(np.float32)
+        )
+        s_ref, i_ref = jax.lax.top_k(sim, k)
+        s_2p, i_2p = exact_topk_2phase(sim, k)
+        np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_2p))
+        np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_2p))
+
+
+def test_exact_topk_2phase_with_masked_rows():
+    import jax
+    import jax.numpy as jnp
+
+    from heat_tpu.evaluation.evaluator import NEG_INF, exact_topk_2phase
+
+    rng = np.random.default_rng(1)
+    sim = rng.normal(size=(4, 6000)).astype(np.float32)
+    # mask most entries of one row, all of another
+    sim[1, 200:] = NEG_INF
+    sim[2, :] = NEG_INF
+    sim = jnp.asarray(sim)
+    s_ref, i_ref = jax.lax.top_k(sim, 30)
+    s_2p, i_2p = exact_topk_2phase(sim, 30)
+    np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_2p))
+    # id agreement wherever scores are finite (ties among -inf entries
+    # may resolve differently; scores already pinned equal above)
+    finite = np.asarray(s_ref) > NEG_INF / 2
+    np.testing.assert_array_equal(
+        np.asarray(i_ref)[finite], np.asarray(i_2p)[finite]
+    )
+
+
+def test_tiled_evaluator_2phase_scale_matches_numpy():
+    """At >=4096 items the evaluator routes exact top-k through the
+    two-phase path; pin it against a numpy argsort oracle."""
+    rng = np.random.default_rng(3)
+    u, i, k = 130, 4608, 25
+    user = rng.normal(size=(u, 16)).astype(np.float32)
+    item = rng.normal(size=(i, 16)).astype(np.float32)
+    pairs = np.stack(
+        [rng.integers(0, u, 500), rng.integers(0, i, 500)], 1
+    ).astype(np.int32)
+    ev = TiledEvaluator(pairs, u, user_tile=64, num_items=i)
+    _, ids = ev.topk(user, item, k)
+    sim = user @ item.T
+    sim[pairs[:, 0], pairs[:, 1]] = -np.inf
+    ref = np.argsort(-sim, axis=1, kind="stable")[:, :k]
+    np.testing.assert_array_equal(ids, ref)
