@@ -75,7 +75,12 @@ def exact_topk_2phase(
     sim3 = sim.reshape(b, nw, w)
     wmax = jnp.max(sim3, axis=2)  # (B, nw)
     kw = min(k, nw)
-    _, widx = jax.lax.top_k(wmax, kw)  # (B, kw)
+    if nw >= _TOPK_2PHASE_MIN_ITEMS:
+        # Recurse: at millions of items (6M -> 47k windows) the window-max
+        # top-k is itself sort-bound. Exactness is inductive.
+        _, widx = exact_topk_2phase(wmax, kw)
+    else:
+        _, widx = jax.lax.top_k(wmax, kw)  # (B, kw)
     # Candidate extraction as a one-hot MXU matmul instead of a per-(row,
     # window) gather — TPU gathers pay per index (~150 ns), the batched
     # (B, kw, nw) x (B, nw, w) matmul streams. Exact because each output

@@ -116,3 +116,21 @@ def test_tiled_evaluator_2phase_scale_matches_numpy():
     sim[pairs[:, 0], pairs[:, 1]] = -np.inf
     ref = np.argsort(-sim, axis=1, kind="stable")[:, :k]
     np.testing.assert_array_equal(ids, ref)
+
+
+def test_exact_topk_2phase_recursive_wide():
+    """At >=4096 windows the window-max top-k recurses; exactness must
+    hold through the recursion (524k-wide rows -> 4096 windows)."""
+    import jax
+    import jax.numpy as jnp
+
+    from heat_tpu.evaluation.evaluator import exact_topk_2phase
+
+    rng = np.random.default_rng(5)
+    n = 524_288  # 4096 windows of 128
+    sim = jnp.asarray(rng.permutation(n).reshape(1, n).astype(np.float32))
+    sim = jnp.concatenate([sim, sim[:, ::-1]], axis=0)
+    s_ref, i_ref = jax.lax.top_k(sim, 17)
+    s_2p, i_2p = exact_topk_2phase(sim, 17)
+    np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_2p))
+    np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_2p))
