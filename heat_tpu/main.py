@@ -60,6 +60,14 @@ def main(argv=None) -> None:
         "(view with tensorboard or xprof)",
     )
     parser.add_argument(
+        "--export-embeddings",
+        type=str,
+        default=None,
+        metavar="PATH.npz",
+        help="after training, export the tables (+ w0) as portable "
+        "float32 numpy arrays (one compressed .npz, no JAX needed to load)",
+    )
+    parser.add_argument(
         "--breakdown",
         action="store_true",
         help="print the host-phase performance breakdown at the end "
@@ -187,6 +195,14 @@ def main(argv=None) -> None:
     metrics = engine.evaluate()
     mlog.log("final_eval", epoch=cfg.epochs, **metrics)
     mlog.close()
+    if args.export_embeddings:
+        # All processes participate (gathering a sharded table is a
+        # collective); each host writes its own local copy.
+        from heat_tpu.export import export_embeddings
+
+        export_embeddings(engine.state, args.export_embeddings, cfg=cfg)
+        if jax.process_index() == 0:
+            print(f"exported embeddings to {args.export_embeddings}")
     if args.breakdown:
         print(engine.performance_breakdown())
     print(json.dumps({"final_metrics": metrics}))
