@@ -39,6 +39,7 @@ def run(
     epochs: int,
     dtype: str = "float32",
     param_dtype: str = "float32",
+    seed: int = 2022,
 ) -> dict:
     if mode == "fast":
         kw = dict(
@@ -51,7 +52,7 @@ def run(
         raise SystemExit(f"unknown mode {mode!r} (expected fast|exact)")
     cfg = CFConfig(
         emb_dim=64, num_negs=16, max_his=100, batch_size=8192,
-        l_r=0.01, clip_val=1.0, milestones=[10], seed=2022,
+        l_r=0.01, clip_val=1.0, milestones=[10], seed=seed,
         metrics=METRICS, compute_dtype=dtype, param_dtype=param_dtype, **kw,
     )
     eng = Engine(cfg, train, test)
@@ -65,6 +66,11 @@ def main() -> None:
     ap.add_argument("--users", type=int, default=52_643)
     ap.add_argument("--items", type=int, default=91_599)
     ap.add_argument("--epochs", type=int, default=5)
+    ap.add_argument(
+        "--seed", type=int, default=2022,
+        help="training seed (vary to estimate the training process's own "
+        "metric variance before judging mode gaps)",
+    )
     ap.add_argument(
         "--modes",
         type=str,
@@ -83,7 +89,9 @@ def main() -> None:
         mode = parts[0]
         dtype = parts[1] if len(parts) > 1 else "float32"
         param_dtype = parts[2] if len(parts) > 2 else "float32"
-        out[spec] = run(mode, train, test, args.epochs, dtype, param_dtype)
+        out[spec] = run(
+            mode, train, test, args.epochs, dtype, param_dtype, args.seed
+        )
         print(json.dumps({spec: out[spec]}), flush=True)
     if "fast" not in out or "exact" not in out:
         return
