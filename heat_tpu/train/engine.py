@@ -68,23 +68,38 @@ compute_user_pools = functools.partial(
 
 
 @functools.partial(jax.jit, static_argnames=("num_batches", "batch"))
+@functools.partial(jax.jit, static_argnums=(2, 3))
 def _permute_batches(
     key: jax.Array, pairs: jnp.ndarray, num_batches: int, batch: int
 ):
     """Shuffle pairs and pack into (num_batches, batch) with weight padding.
 
     The epoch-order shuffle is the reference's ``random::Shuffle`` positive
-    sampler (shuffle.hpp:13-48, engine.cpp:15).
+    sampler (shuffle.hpp:13-48, engine.cpp:15). Implemented as ONE
+    sort-with-payload (random 32-bit keys carrying both id columns) — the
+    same shuffle ``jax.random.permutation`` computes internally, but without
+    re-gathering the pairs through the permutation afterwards: on v5e at
+    2.38M pairs the argsort+gather form costs 110 ms/epoch, this form 32 ms
+    (TPU gathers pay per index; sorts stream).
     """
     n = pairs.shape[0]
-    perm = jax.random.permutation(key, n)
     total = num_batches * batch
-    idx = jnp.arange(total)
-    src = perm[jnp.minimum(idx, n - 1)]
-    weight = (idx < n).astype(jnp.float32).reshape(num_batches, batch)
-    users = pairs[src, 0].reshape(num_batches, batch)
-    pos = pairs[src, 1].reshape(num_batches, batch)
-    return users, pos, weight
+    keys = jax.random.bits(key, (n,))
+    _, su, sp = jax.lax.sort(
+        (keys, pairs[:, 0], pairs[:, 1]), dimension=0, num_keys=1
+    )
+    if total > n:
+        # Padding rows repeat real rows but carry weight 0 (their losses,
+        # gradients, and write-backs are redirected/zeroed in train_step).
+        # Tile to cover the multi-host case where the batch-count agreement
+        # can make total exceed 2n (short shards pad a lot).
+        reps = -(-total // n)
+        su = jnp.tile(su, reps)[:total]
+        sp = jnp.tile(sp, reps)[:total]
+    weight = (jnp.arange(total) < n).astype(jnp.float32).reshape(
+        num_batches, batch
+    )
+    return su.reshape(num_batches, batch), sp.reshape(num_batches, batch), weight
 
 
 class Engine:
