@@ -100,21 +100,24 @@ def exact_topk_2phase(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "exact", "recall_target")
+    jax.jit, static_argnames=("k", "exact", "recall_target", "valid_items")
 )
 def _topk_all_tiles(
     user_tiles: jnp.ndarray,  # (n_tiles, T, d)
-    item_emb: jnp.ndarray,    # (I, d)
+    item_emb: jnp.ndarray,    # (I_pad, d) — item axis padded to 128 lanes
     mask_u: jnp.ndarray,      # (n_tiles, P) tile-local user rows (>=T drops)
     mask_i: jnp.ndarray,      # (n_tiles, P) item ids
-    mask_bits: jnp.ndarray | None,  # (n_tiles, T, W) u32 packed, or None
+    mask_bits: jnp.ndarray | None,  # (n_tiles, T, I_pad/32) u32, or None
     *,
     k: int,
     exact: bool = True,
     recall_target: float = 0.95,
+    valid_items: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     item_t = item_emb.astype(jnp.float32).T
     num_items = item_emb.shape[0]
+    if valid_items is None:
+        valid_items = num_items
     shifts = jnp.arange(32, dtype=jnp.uint32)
 
     def body(carry, xs):
@@ -129,16 +132,19 @@ def _topk_all_tiles(
             # — ~150 ns each on v5e, so this dominates eval for dense
             # click matrices; the bitmask path below is preferred).
             sim = sim.at[mu, mi].set(NEG_INF, mode="drop")
+            if valid_items < num_items:
+                # Zero-embedding pad items score 0; hard-mask the tail.
+                sim = jnp.where(
+                    jnp.arange(num_items) < valid_items, sim, NEG_INF
+                )
         else:
             # Packed-bitmask path: one fused elementwise pass — unpack the
             # static train-pair bitmask on the fly and select -inf, with no
-            # scatter and no materialized unpacked mask.
+            # scatter, no materialized unpacked mask, and (because the item
+            # axis is padded to a 128 multiple up front, pad bits set) no
+            # concatenate-copy of the (T, I) score matrix.
             t_rows, w = sim.shape[0], bits.shape[1]
-            pad = w * 32 - num_items
-            simp = jnp.concatenate(
-                [sim, jnp.full((t_rows, pad), NEG_INF, jnp.float32)],
-                axis=1,
-            ).reshape(t_rows, w, 32)
+            simp = sim.reshape(t_rows, w, 32)
             masked = jnp.where(
                 (bits[:, :, None] >> shifts) & 1 == 1, NEG_INF, simp
             )
@@ -149,6 +155,12 @@ def _topk_all_tiles(
             else:
                 out = jax.lax.top_k(sim, k)
         else:
+            # Barrier: keep the bitmask unpack from fusing into (and being
+            # recomputed by each pass of) approx_max_k's multi-pass
+            # reduction — without it the approx path measured SLOWER than
+            # the exact two-phase path (0.30 vs 0.28 s at AmazonBooks
+            # scale; with the barrier 0.21 s).
+            sim = jax.lax.optimization_barrier(sim)
             out = jax.lax.approx_max_k(
                 sim, k, recall_target=recall_target
             )
@@ -216,7 +228,16 @@ class TiledEvaluator:
                 int(train_pairs[:, 1].max()) + 1 if len(train_pairs) else 1
             )
         self._mask_items = num_items
-        words = -(-num_items // 32)
+        # The item axis is padded once to a 128-lane multiple so that no
+        # stage ever pads the (T, I) f32 score matrix itself: the original
+        # concatenate-pads in the mask pass and in exact_topk_2phase each
+        # cost a full 375 MB copy per 1024x91.6k tile (measured +2.2
+        # ms/tile). Pad ITEMS in the bitmask (pad bits hard-masked to 1)
+        # and pad item_emb rows with zeros instead — then every reshape is
+        # a contiguous bitcast and the mask is one fused elementwise pass.
+        pad_items = -(-num_items // 128) * 128
+        self._pad_items = pad_items
+        words = pad_items // 32
         bits_bytes = self.num_tiles * user_tile * words * 4
         if bits_bytes <= MASK_BITS_MAX_BYTES:
             bits = np.zeros(
@@ -228,6 +249,15 @@ class TiledEvaluator:
                     (train_pairs[:, 0], train_pairs[:, 1] >> 5),
                     np.uint32(1) << (train_pairs[:, 1] & 31).astype(np.uint32),
                 )
+            if pad_items > num_items:
+                pad_ids = np.arange(num_items, pad_items)
+                pad_words = np.zeros((words,), np.uint32)
+                np.bitwise_or.at(
+                    pad_words,
+                    pad_ids >> 5,
+                    np.uint32(1) << (pad_ids & 31).astype(np.uint32),
+                )
+                bits |= pad_words[None, :]
             self.mask_bits = jnp.asarray(
                 bits.reshape(self.num_tiles, user_tile, words)
             )
@@ -268,22 +298,63 @@ class TiledEvaluator:
         """
         user_emb = jnp.asarray(user_emb)
         item_emb = jnp.asarray(item_emb)
+        num_items = int(item_emb.shape[0])
+        pad_items = -(-num_items // 128) * 128
         if self.mask_bits is not None:
-            w_needed = -(-int(item_emb.shape[0]) // 32)
-            if self.mask_bits.shape[2] < w_needed:
-                # Item space wider than the pairs implied: pad with zero
-                # words once and keep the widened bitmap cached.
-                pad = jnp.zeros(
-                    (
-                        self.num_tiles,
-                        self.user_tile,
-                        w_needed - self.mask_bits.shape[2],
+            w_needed = pad_items // 32
+            if (
+                self.mask_bits.shape[2] != w_needed
+                or self._mask_items != num_items
+            ):
+                # Item space wider than the pairs implied: rebuild the pad
+                # region — old pad bits (hard-masked 1s) may now cover real
+                # items, and the new tail needs masking. Host-side, cached.
+                bits = np.array(self.mask_bits).reshape(
+                    self.num_tiles * self.user_tile, -1
+                )
+                old_valid = self._mask_items
+                old_pad = np.arange(old_valid, bits.shape[1] * 32)
+                clear = np.zeros((bits.shape[1],), np.uint32)
+                np.bitwise_or.at(
+                    clear,
+                    old_pad >> 5,
+                    np.uint32(1) << (old_pad & 31).astype(np.uint32),
+                )
+                bits &= ~clear[None, :]
+                if w_needed > bits.shape[1]:
+                    bits = np.concatenate(
+                        [
+                            bits,
+                            np.zeros(
+                                (bits.shape[0], w_needed - bits.shape[1]),
+                                np.uint32,
+                            ),
+                        ],
+                        axis=1,
+                    )
+                if pad_items > num_items:
+                    pad_ids = np.arange(num_items, pad_items)
+                    pad_words = np.zeros((w_needed,), np.uint32)
+                    np.bitwise_or.at(
+                        pad_words,
+                        pad_ids >> 5,
+                        np.uint32(1) << (pad_ids & 31).astype(np.uint32),
+                    )
+                    bits |= pad_words[None, :]
+                self._mask_items = num_items
+                self.mask_bits = jnp.asarray(
+                    bits.reshape(self.num_tiles, self.user_tile, w_needed)
+                )
+        if pad_items > num_items:
+            item_emb = jnp.concatenate(
+                [
+                    item_emb,
+                    jnp.zeros(
+                        (pad_items - num_items, item_emb.shape[1]),
+                        item_emb.dtype,
                     ),
-                    jnp.uint32,
-                )
-                self.mask_bits = jnp.concatenate(
-                    [self.mask_bits, pad], axis=2
-                )
+                ]
+            )
         pad_rows = self.num_tiles * self.user_tile - self.num_users
         if pad_rows:
             user_emb = jnp.concatenate(
@@ -302,6 +373,7 @@ class TiledEvaluator:
             k=k,
             exact=exact,
             recall_target=recall_target,
+            valid_items=num_items,
         )
         ids = ids.reshape(self.num_tiles * self.user_tile, k)[
             : self.num_users
