@@ -109,6 +109,14 @@ class CFConfig:
     num_subepochs: int = 1      # item-column partitioning rounds per epoch
                                 # (engine.cpp:108-121; reference default 2)
     batch_size: int = 8192
+    # Positive-sample order. "epoch": reshuffle every epoch (the upstream
+    # OpenMP path's random_shuffle order, shuffle.hpp:13-48 — the published
+    # HEAT results' behavior, and the safest SGD default). "once": shuffle
+    # once, reuse the stream (no per-epoch shuffle cost). "none": parse
+    # order — what the fork's LIVE MPI path actually does (its hot loop
+    # engine.cpp:243-252 walks partition buckets in parse order; the
+    # Shuffle object is only read by the commented-out OpenMP path).
+    shuffle_mode: str = "epoch"  # "epoch" | "once" | "none"
     metrics: Sequence[str] = dataclasses.field(
         default_factory=lambda: ["Recall(k=20)"]
     )
@@ -131,6 +139,8 @@ class CFConfig:
             raise ValueError(f"unknown loss {self.loss!r}")
         if self.his_refresh not in ("step", "subepoch"):
             raise ValueError(f"unknown his_refresh {self.his_refresh!r}")
+        if self.shuffle_mode not in ("epoch", "once", "none"):
+            raise ValueError(f"unknown shuffle_mode {self.shuffle_mode!r}")
         if self.aggregator not in ("mean", "self_attention", "user_attention"):
             raise ValueError(f"unknown aggregator {self.aggregator!r}")
         if self.aggregator == "self_attention" and self.his_refresh != "step":
@@ -184,6 +194,7 @@ _MODEL_KEY_MAP = {
     "num_subepochs": "num_subepochs",
     "num_subepoches": "num_subepochs",  # reference spelling (cf_config.py:8)
     "sgd_mode": "sgd_mode",
+    "shuffle_mode": "shuffle_mode",
     "his_refresh": "his_refresh",
     "aggregator": "aggregator",
     "aggregation": "aggregator",  # SimpleX config spelling

@@ -102,6 +102,24 @@ def _permute_batches(
     return su.reshape(num_batches, batch), sp.reshape(num_batches, batch), weight
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _pack_batches(pairs: jnp.ndarray, num_batches: int, batch: int):
+    """Pack pairs into (num_batches, batch) in parse order, no shuffle
+    (cfg.shuffle_mode == "none" — the fork's live MPI hot loop walks its
+    buckets in parse order, engine.cpp:243-252)."""
+    n = pairs.shape[0]
+    total = num_batches * batch
+    su, sp = pairs[:, 0], pairs[:, 1]
+    if total > n:
+        reps = -(-total // n)
+        su = jnp.tile(su, reps)[:total]
+        sp = jnp.tile(sp, reps)[:total]
+    weight = (jnp.arange(total) < n).astype(jnp.float32).reshape(
+        num_batches, batch
+    )
+    return su.reshape(num_batches, batch), sp.reshape(num_batches, batch), weight
+
+
 class Engine:
     """Drives training/evaluation for one model on one process.
 
@@ -228,6 +246,7 @@ class Engine:
         # performance_breakdown, engine.cpp:22-65, at engine granularity).
         self.timer = PhaseTimer()
         self._evaluator = None  # lazy TiledEvaluator (mask tensors cached)
+        self._batch_cache = None  # shuffle_mode == "once" packed stream
 
     # ------------------------------------------------------------------
     def _pooled_history(self) -> jnp.ndarray:
@@ -251,6 +270,32 @@ class Engine:
         self._key, sub = jax.random.split(self._key)
         return sub
 
+    def _shuffle_or_pack(self, pairs, num_batches: int, batch: int):
+        """Dispatch on cfg.shuffle_mode; "once" caches the packed stream
+        per pairs object (a strong ref pins the keying identity).
+
+        Key discipline: "once" draws (and may discard) exactly one key per
+        call so every host's key stream stays aligned with the
+        empty-shard compensating draw in _make_batches; "none" draws none
+        (on every host uniformly).
+        """
+        mode = self.cfg.shuffle_mode
+        if mode == "none":
+            return _pack_batches(pairs, num_batches, batch)
+        key = self._next_key()
+        if mode == "once":
+            cached = self._batch_cache
+            if (
+                cached is not None
+                and cached[0] is pairs
+                and cached[1] == (num_batches, batch)
+            ):
+                return cached[2]
+            out = _permute_batches(key, pairs, num_batches, batch)
+            self._batch_cache = (pairs, (num_batches, batch), out)
+            return out
+        return _permute_batches(key, pairs, num_batches, batch)
+
     def _make_batches(self, pairs: jnp.ndarray):
         """Shuffle + pack local pairs; assemble the (global) batch arrays."""
         cfg = self.cfg
@@ -260,8 +305,8 @@ class Engine:
             batch = min(cfg.batch_size, max(1, n))
             batch = -(-batch // d_ax) * d_ax  # divisible by the data axis
             num_batches = -(-n // batch)
-            users, pos, weight = _permute_batches(
-                self._next_key(), pairs, num_batches, batch
+            users, pos, weight = self._shuffle_or_pack(
+                pairs, num_batches, batch
             )
             if self._batch_sharding is not None:
                 users = jax.device_put(users, self._batch_sharding)
@@ -280,11 +325,12 @@ class Engine:
         all_nb = multihost_utils.process_allgather(np.asarray([local_nb]))
         num_batches = int(np.max(all_nb))
         if n > 0:
-            users, pos, weight = _permute_batches(
-                self._next_key(), pairs, num_batches, local_batch
+            users, pos, weight = self._shuffle_or_pack(
+                pairs, num_batches, local_batch
             )
         else:  # empty shard: all-padding contribution
-            self._next_key()
+            if cfg.shuffle_mode != "none":  # match the draw count above
+                self._next_key()
             users = jnp.zeros((num_batches, local_batch), jnp.int32)
             pos = jnp.zeros((num_batches, local_batch), jnp.int32)
             weight = jnp.zeros((num_batches, local_batch), jnp.float32)

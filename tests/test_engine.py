@@ -265,3 +265,54 @@ def test_engine_uses_flat_history_for_small_max_his(data):
     assert eng.his_items.ndim == 1
     big = Engine(small_cfg(max_his=64), train)
     assert big.his_items.ndim == 2
+
+
+def test_shuffle_modes_train_and_cache(data):
+    """shuffle_mode: "none" packs in parse order; "once" reuses one packed
+    stream across epochs; both still learn on the planted clusters."""
+    import jax.numpy as jnp
+
+    from heat_tpu.train.engine import _pack_batches
+
+    train, _ = data
+    data = train
+
+    # "none" == parse order: first batch equals the head of the pair list.
+    cfg = small_cfg(shuffle_mode="none")
+    eng = Engine(cfg, data, test_data=data)
+    users, pos, weight = eng._make_batches(eng.pairs)
+    np.testing.assert_array_equal(
+        np.asarray(users).reshape(-1)[: data.train_size],
+        np.asarray(data.pairs[:, 0]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pos).reshape(-1)[: data.train_size],
+        np.asarray(data.pairs[:, 1]),
+    )
+    l0 = eng.train_one_epoch()
+    l1 = eng.train_one_epoch()
+    assert l1 < l0
+
+    # "once": identical batch stream on every epoch (cached object), and
+    # it is a real shuffle (differs from parse order).
+    cfg = small_cfg(shuffle_mode="once")
+    eng = Engine(cfg, data, test_data=data)
+    u1, p1, _ = eng._make_batches(eng.pairs)
+    u2, p2, _ = eng._make_batches(eng.pairs)
+    assert u1 is u2 and p1 is p2
+    assert not np.array_equal(
+        np.asarray(u1).reshape(-1)[: data.train_size],
+        np.asarray(data.pairs[:, 0]),
+    )
+    l0 = eng.train_one_epoch()
+    l1 = eng.train_one_epoch()
+    assert l1 < l0
+
+    # _pack_batches padding: weights zero on the tail, ids tiled.
+    pairs = jnp.asarray(np.arange(10, dtype=np.int32).reshape(5, 2))
+    u, p, w = _pack_batches(pairs, 2, 4)
+    assert u.shape == (2, 4)
+    assert float(w.sum()) == 5.0
+    np.testing.assert_array_equal(
+        np.asarray(u).reshape(-1)[:5], np.asarray(pairs[:, 0])
+    )
