@@ -200,7 +200,9 @@ def main(argv=None) -> None:
         # collective); each host writes its own local copy.
         from heat_tpu.export import export_embeddings
 
-        export_embeddings(engine.state, args.export_embeddings, cfg=cfg)
+        export_embeddings(
+            engine.unpadded_state(), args.export_embeddings, cfg=cfg
+        )
         if jax.process_index() == 0:
             print(f"exported embeddings to {args.export_embeddings}")
     if args.breakdown:

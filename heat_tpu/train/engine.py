@@ -19,6 +19,7 @@ mode (there is nothing to synchronize).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional, Sequence
 
@@ -182,24 +183,65 @@ class Engine:
         self.his_masks = jnp.asarray(train_data.masks, jnp.int32)
 
         self._multiprocess = mesh is not None and jax.process_count() > 1
+        self._pad_users = 0
+        self._pad_items = 0
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from heat_tpu.parallel.mesh import (
                 DATA_AXIS,
+                MODEL_AXIS,
                 batch_sharding,
                 train_state_shardings,
             )
 
             self._batch_sharding = batch_sharding(mesh)
             self._data_axis_size = mesh.shape[DATA_AXIS]
+            # Row-shard divisibility: GSPMD requires table dim 0 divisible
+            # by its mesh axis. Single-process meshes pad the tables (and
+            # the history arrays) with dead rows — never sampled (samplers
+            # draw from the LOGICAL cfg.num_items), never batched (batch
+            # ids are logical), zero-masked in pooling, and sliced off by
+            # evaluate()/unpadded_state(). Multi-host keeps the strict
+            # divisibility requirement (host data shards must align).
+            state_cfg = cfg
+            if not self._multiprocess:
+                self._pad_users = (-cfg.num_users) % self._data_axis_size
+                self._pad_items = (-cfg.num_items) % mesh.shape[MODEL_AXIS]
+                if self._pad_users or self._pad_items:
+                    state_cfg = dataclasses.replace(
+                        cfg,
+                        num_users=cfg.num_users + self._pad_users,
+                        num_items=cfg.num_items + self._pad_items,
+                    )
+                if self._pad_users:
+                    if self._flat_his:
+                        his_pad = np.zeros(
+                            (self._pad_users * cfg.max_his,), np.int32
+                        )
+                    else:
+                        his_pad = np.zeros(
+                            (self._pad_users, self.his_items.shape[1]),
+                            np.int32,
+                        )
+                    self.his_items = jnp.concatenate(
+                        [self.his_items, jnp.asarray(his_pad)]
+                    )
+                    self.his_masks = jnp.concatenate(
+                        [
+                            self.his_masks,
+                            jnp.zeros((self._pad_users,), jnp.int32),
+                        ]
+                    )
             # Initialize the state directly into its sharded layout (works
             # both single-process and multi-host: each process materializes
             # only its addressable shards).
-            template = jax.eval_shape(lambda k: init_train_state(cfg, k), k_state)
+            template = jax.eval_shape(
+                lambda k: init_train_state(state_cfg, k), k_state
+            )
             shardings = train_state_shardings(mesh, template)
             self.state = jax.jit(
-                lambda k: init_train_state(cfg, k),
+                lambda k: init_train_state(state_cfg, k),
                 out_shardings=shardings,
             )(k_state)
             row_sh = NamedSharding(mesh, P(DATA_AXIS, None))
@@ -247,6 +289,36 @@ class Engine:
         self.timer = PhaseTimer()
         self._evaluator = None  # lazy TiledEvaluator (mask tensors cached)
         self._batch_cache = None  # shuffle_mode == "once" packed stream
+
+    # ------------------------------------------------------------------
+    def unpadded_state(self) -> TrainState:
+        """The train state with mesh-divisibility padding rows sliced off.
+
+        Single-process meshes pad table rows so GSPMD can row-shard any
+        num_users/num_items (see __init__); use this for serving, export,
+        or any consumer that treats table row ids as entity ids.
+        """
+        if not (self._pad_users or self._pad_items):
+            return self.state
+        nu, ni = self.cfg.num_users, self.cfg.num_items
+
+        def cut(x, n):
+            return None if x is None else x[:n]
+
+        return self.state.replace(
+            user_emb=self.state.user_emb[:nu],
+            item_emb=self.state.item_emb[:ni],
+            user_gacc=cut(self.state.user_gacc, nu),
+            item_gacc=cut(self.state.item_gacc, ni),
+            opt_slots=None
+            if self.state.opt_slots is None
+            else {
+                k: (v[:nu] if k.startswith("user_") else v[:ni])
+                if k.startswith(("user_", "item_"))
+                else v
+                for k, v in self.state.opt_slots.items()
+            },
+        )
 
     # ------------------------------------------------------------------
     def _pooled_history(self) -> jnp.ndarray:
@@ -436,10 +508,13 @@ class Engine:
             return self._evaluate_multiprocess(
                 metrics, max_k, user_tile, aggregate_users
             )
-        user_emb = self.state.user_emb
+        user_emb = self.state.user_emb[: self.cfg.num_users]
         if aggregate_users:
             user_emb = aggregate_history(
-                user_emb, self._pooled_history(), self.state.w0, self.cfg.gamma
+                user_emb,
+                self._pooled_history()[: self.cfg.num_users],
+                self.state.w0,
+                self.cfg.gamma,
             )
         with self.timer.phase("eval"):
             if (
@@ -459,7 +534,7 @@ class Engine:
                 )
             _, top_ids = self._evaluator.topk(
                 user_emb,
-                self.state.item_emb,
+                self.state.item_emb[: self.cfg.num_items],
                 max_k,
                 device=True,
                 exact=exact,
@@ -522,4 +597,5 @@ class Engine:
 
     def evaluate0(self) -> np.ndarray:
         """Reference-parity API: dense sim matrix (engine.cpp:388-400)."""
-        return full_sim_matrix(self.state.user_emb, self.state.item_emb)
+        st = self.unpadded_state()
+        return full_sim_matrix(st.user_emb, st.item_emb)

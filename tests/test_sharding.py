@@ -139,3 +139,63 @@ def test_sharded_tile_sampler_matches_single_device(data):
         rtol=1e-2,
         atol=2e-6,
     )
+
+
+def test_sharded_odd_table_sizes_padded(data):
+    """Table row counts not divisible by the mesh axes get padded dead
+    rows (single-process meshes); training matches the unsharded run and
+    evaluate()/unpadded_state() hide the padding."""
+    odd = synthetic_click_dataset(
+        num_users=131,   # prime: not divisible by data axis 2
+        num_items=253,   # 11*23: not divisible by model axis 4
+        clicks_per_user=20,
+        max_his=8,
+        seed=13,
+    )
+    train, test = odd
+    cfg = _cfg()
+    cfg.batch_size = 1 << 12  # single batched step
+
+    e_single = Engine(cfg, train, test)
+    loss_single = e_single.train_one_epoch()
+
+    mesh = make_mesh(2, 4, jax.devices()[:8])
+    cfg2 = _cfg()
+    cfg2.batch_size = 1 << 12
+    e_sharded = Engine(cfg2, train, test, mesh=mesh)
+    assert e_sharded._pad_users == 1 and e_sharded._pad_items == 3
+    assert e_sharded.state.user_emb.shape[0] == 132
+    assert e_sharded.state.item_emb.shape[0] == 256
+    loss_sharded = e_sharded.train_one_epoch()
+    np.testing.assert_allclose(loss_sharded, loss_single, rtol=1e-5)
+
+    st = e_sharded.unpadded_state()
+    assert st.user_emb.shape[0] == 131 and st.item_emb.shape[0] == 253
+    np.testing.assert_allclose(
+        np.asarray(st.user_emb),
+        np.asarray(e_single.state.user_emb),
+        rtol=1e-4,
+        atol=5e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(st.item_emb),
+        np.asarray(e_single.state.item_emb),
+        rtol=1e-2,
+        atol=2e-6,
+    )
+    m_sh = e_sharded.evaluate()
+    m_si = e_single.evaluate()
+    for k in m_si:
+        np.testing.assert_allclose(m_sh[k], m_si[k], rtol=0.2, atol=0.02)
+
+    # Tile sampler + cached means through the padded tables.
+    cfg3 = _cfg()
+    cfg3.batch_size = 1 << 12
+    cfg3.neg_sampler = 1
+    cfg3.tile_size = 32
+    cfg3.refresh_interval = 4096
+    cfg3.his_refresh = "subepoch"
+    e_tile = Engine(cfg3, train, test, mesh=mesh)
+    l0 = e_tile.train_one_epoch()
+    l1 = e_tile.train_one_epoch()
+    assert np.isfinite(l0) and np.isfinite(l1)
