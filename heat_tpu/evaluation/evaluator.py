@@ -85,12 +85,22 @@ def exact_topk_2phase(
     # window) gather — TPU gathers pay per index (~150 ns), the batched
     # (B, kw, nw) x (B, nw, w) matmul streams. Exact because each output
     # sums exactly one finite score (masking uses finfo.min, never -inf,
-    # so the 0 * masked terms vanish).
+    # so the 0 * masked terms vanish). Precision MUST be HIGHEST: the TPU
+    # default truncates f32 operands to bf16 per pass, which rounds the
+    # extracted scores and silently re-ranks candidates whose scores
+    # differ below bf16 resolution (caught at AmazonBooks scale: Recall@20
+    # 0.0106 vs lax.top_k's 0.0114 on the same masked scores — CPU tests
+    # never see it because CPU matmuls are exact f32). The extraction
+    # matmul is tiny next to the sim GEMM, so the 6-pass cost is noise.
     onehot = (
         widx[:, :, None] == jnp.arange(nw, dtype=widx.dtype)[None, None, :]
     ).astype(sim.dtype)
     cand = jnp.einsum(
-        "bkn,bnw->bkw", onehot, sim3, preferred_element_type=sim.dtype
+        "bkn,bnw->bkw",
+        onehot,
+        sim3,
+        preferred_element_type=sim.dtype,
+        precision=jax.lax.Precision.HIGHEST,
     )
     scores, local = jax.lax.top_k(cand.reshape(b, kw * w), k)
     ids = (
@@ -122,10 +132,15 @@ def _topk_all_tiles(
 
     def body(carry, xs):
         u_tile, mu, mi, bits = xs
+        # HIGHEST: the TPU default truncates f32 operands to bf16; for
+        # bf16-trained tables the cast round-trips (no loss), but f32
+        # tables would score at bf16 fidelity, unlike the reference's f32
+        # GEMM (engine.cpp:398). At d=64 the GEMM is ~1% of eval time.
         sim = jnp.dot(
             u_tile.astype(jnp.float32),
             item_t,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         if bits is None:
             # Generic path: per-pair scatter (TPU scatters pay per element
@@ -415,5 +430,6 @@ def full_sim_matrix(user_emb, item_emb) -> np.ndarray:
         jnp.asarray(user_emb, jnp.float32),
         jnp.asarray(item_emb, jnp.float32).T,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # reference f32 GEMM fidelity
     )
     return np.asarray(sim)

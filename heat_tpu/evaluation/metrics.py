@@ -195,17 +195,20 @@ def _device_metric_values(name: str, k: int, hits, num_true):
         r = h.sum(1) / (num_true + 1e-12)
         return 2 * p * r / (p + r + 1e-12)
     discounts = 1.0 / jnp.log(2.0 + ranks)
+    # Elementwise sum, NOT h @ discounts: TPU matmuls truncate f32
+    # operands to bf16 by default, which would round the reported metric
+    # values (~0.4% relative on the discount vector).
     if name == "DCG":
-        return h @ discounts
+        return jnp.sum(h * discounts, axis=1)
     if name == "NDCG":
-        dcg = h @ discounts
+        dcg = jnp.sum(h * discounts, axis=1)
         n_ideal = jnp.minimum(float(k), num_true).astype(jnp.int32)
         cum = jnp.concatenate(
             [jnp.zeros((1,), jnp.float32), jnp.cumsum(discounts)]
         )
         return dcg / (cum[n_ideal] + 1e-12)
     if name == "MRR":
-        return h @ (1.0 / (1.0 + ranks))
+        return jnp.sum(h * (1.0 / (1.0 + ranks)), axis=1)
     if name == "HitRate":
         return (h.sum(1) > 0).astype(jnp.float32)
     if name == "MAP":

@@ -28,6 +28,17 @@ import jax
 import jax.numpy as jnp
 
 
+def _prec(dtype) -> jax.lax.Precision:
+    """HIGHEST for genuinely-f32 operands (the TPU default truncates f32
+    matmul operands to bf16 per pass — exact for bf16-valued inputs, a
+    silent fidelity loss for compute_dtype=float32)."""
+    return (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
 def history_mean(
     his_embs: jnp.ndarray, mask: jnp.ndarray
 ) -> jnp.ndarray:
@@ -43,7 +54,9 @@ def history_mean(
     b, h, _ = his_embs.shape
     pos = jnp.arange(h, dtype=mask.dtype)[None, :]  # (1, H)
     valid = (pos < mask[:, None]).astype(his_embs.dtype)  # (B, H)
-    total = jnp.einsum("bhd,bh->bd", his_embs, valid)
+    total = jnp.einsum(
+        "bhd,bh->bd", his_embs, valid, precision=_prec(his_embs.dtype)
+    )
     denom = jnp.maximum(mask.astype(his_embs.dtype), 1.0)
     return total / denom[:, None]
 
@@ -83,11 +96,21 @@ def pool_history(
     if kind == "self_attention":
         if attn_q is None:
             raise ValueError("self_attention requires attn_q")
-        logits = jnp.einsum("bhd,d->bh", his_embs, attn_q) * scale
+        logits = (
+            jnp.einsum(
+                "bhd,d->bh", his_embs, attn_q, precision=_prec(his_embs.dtype)
+            )
+            * scale
+        )
     elif kind == "user_attention":
         if u is None:
             raise ValueError("user_attention requires the user embeddings")
-        logits = jnp.einsum("bhd,bd->bh", his_embs, u) * scale
+        logits = (
+            jnp.einsum(
+                "bhd,bd->bh", his_embs, u, precision=_prec(his_embs.dtype)
+            )
+            * scale
+        )
     else:
         raise ValueError(f"unknown aggregator {kind!r}")
     # Keep slot 0 un-masked so the softmax is never all -inf and can emit
@@ -98,7 +121,9 @@ def pool_history(
     never_empty = valid | (pos == 0)
     logits = jnp.where(never_empty, logits, jnp.asarray(-1e9, logits.dtype))
     attn = jax.nn.softmax(logits, axis=-1)
-    pooled = jnp.einsum("bh,bhd->bd", attn, his_embs)
+    pooled = jnp.einsum(
+        "bh,bhd->bd", attn, his_embs, precision=_prec(his_embs.dtype)
+    )
     return jnp.where(mask[:, None] > 0, pooled, jnp.zeros_like(pooled))
 
 
@@ -180,5 +205,15 @@ def aggregate_history(
     (behavior_aggregators.cpp:118-122; w0 orientation matches the
     reference's ``means.matrix() * weights0.matrix()``.)
     """
-    f_c0 = jnp.dot(means, w0, preferred_element_type=means.dtype)
+    # HIGHEST when genuinely f32: the TPU default truncates f32 matmul
+    # operands to bf16 per pass (exact for bf16-valued inputs, a fidelity
+    # loss for compute_dtype=float32). d x d — negligible FLOPs.
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if means.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    f_c0 = jnp.dot(
+        means, w0, preferred_element_type=means.dtype, precision=prec
+    )
     return gamma * u + (1.0 - gamma) * f_c0

@@ -12,6 +12,8 @@ forward dot products — XLA's fusion achieves the same reuse).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -41,18 +43,30 @@ def pair_scores(
     Returns:
       (s_up, s_un): (B,) and (B, K) similarity scores.
     """
+    # f32 inputs score at true f32 (the TPU default would truncate f32
+    # matmul operands to bf16 per pass — fine for bf16-valued inputs,
+    # where the single pass is exact, but an un-asked-for fidelity loss
+    # for compute_dtype=float32). FLOP cost is negligible at these shapes.
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if u.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     compute_dtype = jnp.promote_types(u.dtype, jnp.float32)
     u = u.astype(compute_dtype)
     p = p.astype(compute_dtype)
     n = n.astype(compute_dtype)
 
-    up = jnp.einsum("bd,bd->b", u, p, preferred_element_type=compute_dtype)
-    un = jnp.einsum("bd,bkd->bk", u, n, preferred_element_type=compute_dtype)
+    ein = functools.partial(
+        jnp.einsum, preferred_element_type=compute_dtype, precision=prec
+    )
+    up = ein("bd,bd->b", u, p)
+    un = ein("bd,bkd->bk", u, n)
     if similarity == "dot":
         return up, un
-    uu = jnp.einsum("bd,bd->b", u, u, preferred_element_type=compute_dtype)
-    pp = jnp.einsum("bd,bd->b", p, p, preferred_element_type=compute_dtype)
-    nn = jnp.einsum("bkd,bkd->bk", n, n, preferred_element_type=compute_dtype)
+    uu = ein("bd,bd->b", u, u)
+    pp = ein("bd,bd->b", p, p)
+    nn = ein("bkd,bkd->bk", n, n)
     r_u = _safe_rnorm(uu)
     s_up = up * r_u * _safe_rnorm(pp)
     s_un = un * r_u[:, None] * _safe_rnorm(nn)
@@ -86,22 +100,24 @@ def tile_scores(
     Returns:
       (s_up, S): (B,) positive scores and (B, T) user x tile scores.
     """
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if u.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )  # see pair_scores
     compute_dtype = jnp.promote_types(u.dtype, jnp.float32)
     u = u.astype(compute_dtype)
     p = p.astype(compute_dtype)
     t = tile_rows.astype(compute_dtype)
 
-    up = jnp.einsum("bd,bd->b", u, p, preferred_element_type=compute_dtype)
-    S = jnp.einsum("bd,td->bt", u, t, preferred_element_type=compute_dtype)
+    ein = functools.partial(
+        jnp.einsum, preferred_element_type=compute_dtype, precision=prec
+    )
+    up = ein("bd,bd->b", u, p)
+    S = ein("bd,td->bt", u, t)
     if similarity == "dot":
         return up, S
-    r_u = _safe_rnorm(
-        jnp.einsum("bd,bd->b", u, u, preferred_element_type=compute_dtype)
-    )
-    r_t = _safe_rnorm(
-        jnp.einsum("td,td->t", t, t, preferred_element_type=compute_dtype)
-    )
-    s_up = up * r_u * _safe_rnorm(
-        jnp.einsum("bd,bd->b", p, p, preferred_element_type=compute_dtype)
-    )
+    r_u = _safe_rnorm(ein("bd,bd->b", u, u))
+    r_t = _safe_rnorm(ein("td,td->t", t, t))
+    s_up = up * r_u * _safe_rnorm(ein("bd,bd->b", p, p))
     return s_up, S * r_u[:, None] * r_t[None, :]

