@@ -139,6 +139,14 @@ def main() -> None:
         refresh_interval=8192, compute_dtype="bfloat16",
         param_dtype="bfloat16",
     )
+    # Direct update mode: per-occurrence scatter-add increments (the
+    # reference live path's clip-per-sample ordering) — drops the f32
+    # accumulator, touched mask, and dense table passes from the update.
+    direct_s, direct_times = time_epochs(
+        "subepoch", dataset, neg_sampler=1, tile_size=512,
+        refresh_interval=8192, compute_dtype="bfloat16",
+        param_dtype="bfloat16", update_mode="direct",
+    )
     fastf32_s, _ = time_epochs(
         "subepoch", dataset, reps=2, neg_sampler=1, tile_size=512,
         refresh_interval=8192,
@@ -175,6 +183,8 @@ def main() -> None:
         "unit": "s",
         "vs_baseline": round(BASELINE_EPOCH_S / fast_s, 2),
         "interactions_per_sec": round(TRAIN_SIZE / fast_s),
+        "direct_s": round(direct_s, 4),
+        "direct_vs_baseline": round(BASELINE_EPOCH_S / direct_s, 2),
         "fast_f32_s": round(fastf32_s, 4),
         "exact_mode_s": round(exact_s, 4),
         "exact_vs_baseline": round(BASELINE_EPOCH_S / exact_s, 2),

@@ -102,6 +102,23 @@ class CFConfig:
     milestones: Sequence[int] = dataclasses.field(default_factory=list)
     lr_gamma: float = 0.1       # LR decay factor (engine.cpp:157-159)
     sgd_mode: str = SGD_MODE_BATCH
+    # Row-update application. "dedup": combine duplicate ids per row, clip
+    # the combined gradient, apply one update per unique row (the
+    # reference's accum-path clip(accumulated row), optimizer.cpp:17-22).
+    # "direct": scatter-add each occurrence's -lr*clip(g) straight into
+    # the table — no f32 accumulator, no touched mask, no dense pass
+    # (~25% off the headline step on v5e, scripts/profile_direct_update.py).
+    # The clip applies per occurrence — which is the reference LIVE path's
+    # own ordering (sparse_step clips each sample's gradient as it is
+    # applied, sgd.cpp:14-26 called per sample from
+    # matrix_factorization.cpp:147-174); where the clip binds on a
+    # duplicated row the two modes genuinely differ (sum-of-clipped vs
+    # clipped-sum). l2 likewise enters per occurrence. With bf16 tables
+    # each occurrence's increment rounds separately (dedup rounds once
+    # per unique row; both round the final bf16 subtraction either way).
+    # End-metric parity validated at full scale
+    # (scripts/accuracy_parity.py --modes direct:...). Batch-mode SGD only.
+    update_mode: str = "dedup"  # "dedup" | "direct"
 
     # --- schedule ---------------------------------------------------------
     epochs: int = 1
@@ -163,6 +180,17 @@ class CFConfig:
                 "sgd_mode='accum' replicates the reference's persistent "
                 "SGD gradient rows and is only defined for optimizer='sgd'"
             )
+        if self.update_mode not in ("dedup", "direct"):
+            raise ValueError(f"unknown update_mode {self.update_mode!r}")
+        if self.update_mode == "direct" and (
+            self.optimizer != "sgd" or self.sgd_mode != SGD_MODE_BATCH
+        ):
+            raise ValueError(
+                "update_mode='direct' is plain per-occurrence SGD; it is "
+                "only defined for optimizer='sgd' with sgd_mode='batch' "
+                "(accum mode and moment-based optimizers must combine "
+                "duplicate rows first)"
+            )
         self.milestones = list(self.milestones)
         self.metrics = list(self.metrics)
 
@@ -194,6 +222,7 @@ _MODEL_KEY_MAP = {
     "num_subepochs": "num_subepochs",
     "num_subepoches": "num_subepochs",  # reference spelling (cf_config.py:8)
     "sgd_mode": "sgd_mode",
+    "update_mode": "update_mode",
     "shuffle_mode": "shuffle_mode",
     "his_refresh": "his_refresh",
     "aggregator": "aggregator",

@@ -127,6 +127,44 @@ def apply_row_updates(
     )
 
 
+def apply_row_updates_direct(
+    table: jnp.ndarray,
+    ids: jnp.ndarray,
+    grads: jnp.ndarray,
+    *,
+    lr: jnp.ndarray,
+    clip_val: float,
+    l2: float = 0.0,
+    rows: Optional[jnp.ndarray] = None,
+    writeback: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Per-occurrence SGD: one scatter-add of ``-lr * clip(g)`` increments.
+
+    ``cfg.update_mode == "direct"``: no f32 accumulator, no touched mask,
+    no dense table pass — the fastest batch-SGD update (~25% off the
+    headline step, scripts/profile_direct_update.py). Semantics vs the
+    dedup path: clip applies to each occurrence's gradient rather than the
+    per-row combined gradient — the reference live path's own ordering
+    (sgd.cpp:14-26 clips per sample) — so the modes differ where the clip
+    binds on duplicated rows. l2 regularization enters per occurrence
+    against the forward-pass rows (``rows``; the dedup path reads the
+    post-write-back table row — pass the aggregated rows for the user
+    table to match).
+
+    ``writeback`` replaces ``table[ids]`` before the update (the user
+    table's aggregated-row write-back); ids == table.shape[0] drop.
+    """
+    if writeback is not None:
+        table = table.at[ids].set(writeback.astype(table.dtype), mode="drop")
+    g = jnp.clip(grads, -clip_val, clip_val)
+    if l2:
+        if rows is None:
+            raise ValueError("l2 under update_mode='direct' needs rows")
+        g = g + l2 * rows.astype(g.dtype)
+    inc = (-lr * g).astype(table.dtype)
+    return table.at[ids].add(inc, mode="drop")
+
+
 def _apply_row_updates_dense(
     table, ids, grads, *, lr, clip_val, gacc, decay, l2
 ):

@@ -49,6 +49,7 @@ from heat_tpu.ops.similarity import pair_scores, tile_scores
 from heat_tpu.train.samplers import SamplerState, sample_negatives
 from heat_tpu.train.scatter import (
     apply_row_updates,
+    apply_row_updates_direct,
     apply_row_updates_opt,
     dense_opt_update,
 )
@@ -194,7 +195,10 @@ def train_step(
         # buffer). Autodiff covers the current-sample term; add the stale one.
         prev_acc = state.user_gacc[users].astype(jnp.float32)
         g_w0 = g_w0 + (1.0 - cfg.gamma) * jnp.einsum(
-            "bi,bj->ij", means.astype(jnp.float32) * weight[:, None], prev_acc
+            "bi,bj->ij",
+            means.astype(jnp.float32) * weight[:, None],
+            prev_acc,
+            precision=jax.lax.Precision.HIGHEST,  # f32 operands (see ops/similarity.py)
         )
 
     num_users = user_emb.shape[0]
@@ -221,7 +225,21 @@ def train_step(
         u_writeback = None
     else:
         u_writeback = u_agg
-    if cfg.optimizer == "sgd":
+    if cfg.update_mode == "direct":
+        # Per-occurrence SGD increments, one scatter-add per table (config
+        # validation guarantees batch-mode SGD here, so gacc is None).
+        user_gacc = None
+        user_emb = apply_row_updates_direct(
+            user_emb,
+            users_w,
+            g_u.astype(jnp.float32),
+            lr=state.lr,
+            clip_val=cfg.clip_val,
+            l2=l2,
+            rows=u_agg if l2 else None,
+            writeback=u_writeback,
+        )
+    elif cfg.optimizer == "sgd":
         user_emb, user_gacc = apply_row_updates(
             user_emb,
             users_w,
@@ -273,7 +291,23 @@ def train_step(
                 g_n.reshape(-1, g_n.shape[-1]).astype(jnp.float32),
             ]
         )
-    if cfg.optimizer == "sgd":
+    if cfg.update_mode == "direct":
+        item_gacc = None
+        item_rows = None
+        if l2:
+            item_rows = jnp.concatenate(
+                [p_rows, n_rows if tiled else n_rows.reshape(-1, n_rows.shape[-1])]
+            )
+        item_emb = apply_row_updates_direct(
+            item_emb,
+            item_ids,
+            item_grads,
+            lr=state.lr,
+            clip_val=cfg.clip_val,
+            l2=l2,
+            rows=item_rows,
+        )
+    elif cfg.optimizer == "sgd":
         item_emb, item_gacc = apply_row_updates(
             item_emb,
             item_ids,

@@ -46,10 +46,18 @@ def run(
             neg_sampler=1, tile_size=512, refresh_interval=8192,
             his_refresh="subepoch",
         )
+    elif mode == "direct":
+        # fast + update_mode="direct" (per-occurrence scatter-add updates)
+        kw = dict(
+            neg_sampler=1, tile_size=512, refresh_interval=8192,
+            his_refresh="subepoch", update_mode="direct",
+        )
     elif mode == "exact":
         kw = dict(neg_sampler=0, his_refresh="step")
     else:
-        raise SystemExit(f"unknown mode {mode!r} (expected fast|exact)")
+        raise SystemExit(
+            f"unknown mode {mode!r} (expected fast|direct|exact)"
+        )
     cfg = CFConfig(
         emb_dim=64, num_negs=16, max_his=100, batch_size=8192,
         l_r=0.01, clip_val=1.0, milestones=[10], seed=seed,

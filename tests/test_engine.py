@@ -316,3 +316,52 @@ def test_shuffle_modes_train_and_cache(data):
     np.testing.assert_array_equal(
         np.asarray(u).reshape(-1)[:5], np.asarray(pairs[:, 0])
     )
+
+
+def test_update_mode_direct_trains_and_matches_dedup(data):
+    """update_mode='direct' (per-occurrence scatter-add updates — the
+    reference live path's own clip-per-sample ordering) trains to the same
+    quality as the dedup path. The loss trajectories are NOT bitwise
+    comparable where the clip binds on duplicated rows (sum-of-clipped vs
+    clipped-sum), so this asserts end-metric parity."""
+    train, test = data
+    e_dedup = Engine(small_cfg(), train, test)
+    e_direct = Engine(small_cfg(update_mode="direct"), train, test)
+    l_dedup = [e_dedup.train_one_epoch() for _ in range(6)]
+    l_direct = [e_direct.train_one_epoch() for _ in range(6)]
+    assert np.isfinite(l_direct).all() and l_direct[-1] < l_direct[0] * 0.8
+    np.testing.assert_allclose(l_direct[-1], l_dedup[-1], rtol=0.1)
+    m_dedup = e_dedup.evaluate()
+    m_direct = e_direct.evaluate()
+    assert m_direct["Recall(k=20)"] > 0.15, m_direct
+    np.testing.assert_allclose(
+        m_direct["Recall(k=20)"], m_dedup["Recall(k=20)"], rtol=0.2, atol=0.02
+    )
+
+
+def test_update_mode_direct_tile_l2_trains(data):
+    """direct mode through the tile fast path with l2 enabled (the
+    headline bench configuration at small scale)."""
+    train, test = data
+    cfg = small_cfg(
+        update_mode="direct",
+        neg_sampler=1,
+        tile_size=64,
+        refresh_interval=1024,
+        his_refresh="subepoch",
+        l2=1e-7,
+        l2_enabled=True,
+    )
+    eng = Engine(cfg, train, test)
+    losses = [eng.train_one_epoch() for _ in range(4)]
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+
+
+def test_update_mode_direct_validation():
+    with pytest.raises(ValueError, match="direct"):
+        small_cfg(update_mode="direct", optimizer="adam")
+    with pytest.raises(ValueError, match="direct"):
+        small_cfg(update_mode="direct", sgd_mode="accum")
+    with pytest.raises(ValueError, match="update_mode"):
+        small_cfg(update_mode="bogus")

@@ -162,3 +162,61 @@ def test_fused_writeback_opt_matches_set_then_update(adam):
         np.testing.assert_allclose(
             np.asarray(m_ref), np.asarray(m_fused), rtol=1e-6, atol=1e-7
         )
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("l2", [0.0, 0.01])
+def test_direct_matches_dedup_when_clip_unbound(seed, l2):
+    """update_mode='direct' (per-occurrence scatter-add of -lr*clip(g))
+    equals the dedup path whenever the clip never binds: sum-then-clip ==
+    clip-then-sum for unclipped rows, and in f32 the only difference is
+    fp associativity. l2 parity needs matching row operands: the dedup
+    path reads the post-write-back table row, so direct gets rows=wb.
+    l2 itself is applied per occurrence in direct mode (vs once per
+    touched row), so the l2 case uses duplicate-free ids."""
+    from heat_tpu.train.scatter import apply_row_updates_direct
+
+    table, ids, grads, _ = _random_case(seed)  # duplicates + padding
+    if l2:
+        rng0 = np.random.default_rng(seed)
+        ids = rng0.permutation(table.shape[0] + 1).astype(np.int32)
+        grads = grads[: ids.shape[0]]  # unique ids (incl. the sentinel)
+    rng = np.random.default_rng(seed + 200)
+    per_id = rng.normal(size=(table.shape[0] + 1, table.shape[1])).astype(
+        np.float32
+    )
+    wb = jnp.asarray(per_id[np.minimum(ids, table.shape[0])])
+    kwargs = dict(lr=jnp.float32(0.1), clip_val=1e9, l2=l2)
+
+    t_ref = jnp.asarray(table).at[jnp.asarray(ids)].set(wb, mode="drop")
+    t_ref, _ = _apply_row_updates_dense(
+        t_ref, jnp.asarray(ids), jnp.asarray(grads),
+        gacc=None, decay=1.0, **kwargs,
+    )
+    t_direct = apply_row_updates_direct(
+        jnp.asarray(table),
+        jnp.asarray(ids),
+        jnp.asarray(grads),
+        rows=wb if l2 else None,
+        writeback=wb,
+        **kwargs,
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_ref), np.asarray(t_direct), rtol=2e-5, atol=1e-6
+    )
+
+
+def test_direct_clips_per_occurrence():
+    """Where the clip binds, direct caps each occurrence: two +1.0 grads
+    on one row under clip 0.5 move it by 2*lr*0.5 (dedup: lr*0.5... no —
+    dedup clips the SUM at 1.0->0.5; direct clips each at 0.5 then sums
+    to 1.0)."""
+    from heat_tpu.train.scatter import apply_row_updates_direct
+
+    table = jnp.zeros((4, 2), jnp.float32)
+    ids = jnp.asarray([1, 1], jnp.int32)
+    grads = jnp.ones((2, 2), jnp.float32)
+    out = apply_row_updates_direct(
+        table, ids, grads, lr=jnp.float32(0.1), clip_val=0.5
+    )
+    np.testing.assert_allclose(np.asarray(out[1]), [-0.1, -0.1], rtol=1e-6)

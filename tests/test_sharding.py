@@ -199,3 +199,25 @@ def test_sharded_odd_table_sizes_padded(data):
     l0 = e_tile.train_one_epoch()
     l1 = e_tile.train_one_epoch()
     assert np.isfinite(l0) and np.isfinite(l1)
+
+
+def test_sharded_direct_update_mode(data):
+    """update_mode='direct' scatter-adds straight into the row-sharded
+    tables. Unlike the dedup path (one combined update per row), the
+    per-occurrence adds apply in partition-dependent order, so the sharded
+    run matches the single-device run only up to f32 associativity noise
+    (which SGD then amplifies) — assert tracking, not bit equality."""
+    train, test = data
+    cfg1 = _cfg()
+    cfg1.update_mode = "direct"
+    e_single = Engine(cfg1, train, test)
+    l_single = [e_single.train_one_epoch() for _ in range(2)]
+
+    mesh = make_mesh(2, 4, jax.devices()[:8])
+    cfg2 = _cfg()
+    cfg2.update_mode = "direct"
+    e_sharded = Engine(cfg2, train, test, mesh=mesh)
+    l_sharded = [e_sharded.train_one_epoch() for _ in range(2)]
+    np.testing.assert_allclose(l_sharded[0], l_single[0], rtol=5e-4)
+    np.testing.assert_allclose(l_sharded[1], l_single[1], rtol=2e-2)
+    assert np.isfinite(l_sharded).all()
