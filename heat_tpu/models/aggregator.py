@@ -170,9 +170,18 @@ def user_pools_impl(
     n_chunks = -(-u // chunk)
 
     def body(i, out):
-        start = i * chunk  # dynamic_slice clamps the last, partial chunk to
-        # u - chunk; every slice below clamps to the same row offset, so the
-        # overlap rows are simply recomputed with identical values.
+        # Clamp the partial last chunk to u - chunk EXPLICITLY so every
+        # dynamic_slice/dynamic_update_slice below gets an in-range offset
+        # (overlap rows recompute with identical values). Do NOT rely on
+        # the ops' implicit out-of-range clamping: on TPU the reads and
+        # the update clamped to DIFFERENT offsets (the update to a
+        # tile-aligned row), shearing ids/mask/output alignment for every
+        # row in the last-chunk window — at AmazonBooks scale the final
+        # 4131 users trained on means pooled with the wrong masks
+        # (Recall@20 0.0125 -> 0.0114; caught by
+        # scripts/bisect_pools_check.py, which is CPU-clean and TPU-dirty
+        # without this clamp).
+        start = jnp.minimum(i * chunk, u - chunk)
         if his_items.ndim == 1:
             ids = jax.lax.dynamic_slice(
                 his_items, (start * h,), (chunk * h,)
