@@ -70,6 +70,12 @@ def main() -> None:
     p.add_argument("--tile", type=int, default=0)
     p.add_argument("--refresh", type=int, default=32_768)
     p.add_argument("--reps", type=int, default=2)
+    p.add_argument(
+        "--update-mode", type=str, default="dedup",
+        choices=("dedup", "direct"),
+        help="dedup = sort/segment-sum per-row combine (clip(combined)); "
+        "direct = one per-occurrence scatter-add per table",
+    )
     args = p.parse_args()
 
     dataset = make_dataset(
@@ -90,9 +96,10 @@ def main() -> None:
         his_refresh="subepoch",
         compute_dtype="bfloat16",
         param_dtype="bfloat16",
+        update_mode=args.update_mode,
     )
     engine = Engine(cfg, dataset)
-    sorted_path = (
+    sorted_path = args.update_mode == "dedup" and (
         args.users > DENSE_ROWS_THRESHOLD
         and args.items > DENSE_ROWS_THRESHOLD
     )
@@ -119,6 +126,7 @@ def main() -> None:
         "clicks": args.clicks,
         "emb_dim": args.dim,
         "sorted_dedup_path": sorted_path,
+        "update_mode": args.update_mode,
         "losses": [round(l, 4) for l in losses],
         "device": str(jax.devices()[0].platform),
     }

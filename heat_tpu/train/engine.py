@@ -44,7 +44,11 @@ from heat_tpu.models.state import (
 from heat_tpu.models.aggregator import aggregate_history, user_pools_impl
 from heat_tpu.train.optimizer import scheduled_lr
 from heat_tpu.train.samplers import derive_tile_params, init_sampler_state
-from heat_tpu.train.train_step import make_epoch_fn
+from heat_tpu.train.train_step import (
+    make_epoch_fn,
+    make_multi_epoch_fn,
+    shuffle_pairs,
+)
 from heat_tpu.utils.profiling import PhaseTimer, performance_breakdown
 
 
@@ -69,7 +73,6 @@ compute_user_pools = functools.partial(
 
 
 @functools.partial(jax.jit, static_argnames=("num_batches", "batch"))
-@functools.partial(jax.jit, static_argnums=(2, 3))
 def _permute_batches(
     key: jax.Array, pairs: jnp.ndarray, num_batches: int, batch: int
 ):
@@ -85,18 +88,12 @@ def _permute_batches(
     """
     n = pairs.shape[0]
     total = num_batches * batch
-    keys = jax.random.bits(key, (n,))
-    _, su, sp = jax.lax.sort(
-        (keys, pairs[:, 0], pairs[:, 1]), dimension=0, num_keys=1
-    )
-    if total > n:
-        # Padding rows repeat real rows but carry weight 0 (their losses,
-        # gradients, and write-backs are redirected/zeroed in train_step).
-        # Tile to cover the multi-host case where the batch-count agreement
-        # can make total exceed 2n (short shards pad a lot).
-        reps = -(-total // n)
-        su = jnp.tile(su, reps)[:total]
-        sp = jnp.tile(sp, reps)[:total]
+    # Padding rows repeat real rows but carry weight 0 (their losses,
+    # gradients, and write-backs are redirected/zeroed in train_step).
+    # shuffle_pairs tiles to cover the multi-host case where the
+    # batch-count agreement can make total exceed 2n (short shards pad
+    # a lot).
+    su, sp = shuffle_pairs(key, pairs, total)
     weight = (jnp.arange(total) < n).astype(jnp.float32).reshape(
         num_batches, batch
     )
@@ -283,6 +280,7 @@ class Engine:
             self._replicated = None
 
         self._epoch_fn = make_epoch_fn(cfg)
+        self._multi_epoch_fn = None  # built lazily by train_epochs
         self._np_rng = np.random.default_rng(seed ^ 0x5EED)
         # Host-visible phase accumulation (the reference's time_map /
         # performance_breakdown, engine.cpp:22-65, at engine granularity).
@@ -477,6 +475,61 @@ class Engine:
                     self.state = zero_grad_accumulators(self.state)
         self.epoch += 1
         return total_loss / max(1, cfg.train_size)
+
+    def train_epochs(self, n: int) -> list[float]:
+        """Run ``n`` epochs; returns the mean per-sample loss of each.
+
+        On the single-process unsharded path this is ONE device program
+        (``make_multi_epoch_fn``): the per-epoch shuffle, LR schedule,
+        cached-pool refresh, and batch scan all live inside an epochs-scan,
+        so the fixed per-dispatch cost (and the separately-dispatched
+        shuffle) is paid once per call instead of once per epoch — at a
+        0.3 s epoch that is ~10-25% of wall time. The key draws and the
+        math match ``n`` sequential ``train_one_epoch`` calls exactly
+        (tested in tests/test_engine.py). Other configurations fall back
+        to the per-epoch loop.
+        """
+        cfg = self.cfg
+        if (
+            n <= 1
+            or self.mesh is not None
+            or cfg.num_subepochs > 1
+            or cfg.shuffle_mode != "epoch"
+            or int(self.pairs.shape[0]) == 0
+        ):
+            return [self.train_one_epoch() for _ in range(n)]
+        if self._multi_epoch_fn is None:
+            self._multi_epoch_fn = make_multi_epoch_fn(cfg)
+        lrs = jnp.asarray(
+            [
+                scheduled_lr(
+                    cfg.l_r, self.epoch + i, cfg.milestones, cfg.lr_gamma
+                )
+                for i in range(n)
+            ],
+            jnp.float32,
+        )
+        # Same key-draw order as n sequential train_one_epoch calls:
+        # per epoch, one shuffle key (_shuffle_or_pack) then one epoch key
+        # (_run_pairs).
+        shuffle_keys, epoch_keys = [], []
+        for _ in range(n):
+            shuffle_keys.append(self._next_key())
+            epoch_keys.append(self._next_key())
+        with self.timer.phase("f_b"):
+            self.state, self.sampler_state, loss_sums = self._multi_epoch_fn(
+                self.state,
+                self.sampler_state,
+                jnp.stack(shuffle_keys),
+                jnp.stack(epoch_keys),
+                lrs,
+                self.pairs,
+                self.his_items,
+                self.his_masks,
+            )
+            loss_sums = np.asarray(loss_sums)
+        self.epoch += n
+        return [float(s) / max(1, cfg.train_size) for s in loss_sums]
 
     # ------------------------------------------------------------------
     def evaluate(

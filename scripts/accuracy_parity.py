@@ -40,16 +40,20 @@ def run(
     dtype: str = "float32",
     param_dtype: str = "float32",
     seed: int = 2022,
+    batch_size: int = 8192,
+    l_r: float = 0.01,
 ) -> dict:
+    refresh = max(8192, batch_size)  # tile refresh counts samples; keep
+    # the per-batch cadence of the 8192 headline (refresh every step)
     if mode == "fast":
         kw = dict(
-            neg_sampler=1, tile_size=512, refresh_interval=8192,
+            neg_sampler=1, tile_size=512, refresh_interval=refresh,
             his_refresh="subepoch",
         )
     elif mode == "direct":
         # fast + update_mode="direct" (per-occurrence scatter-add updates)
         kw = dict(
-            neg_sampler=1, tile_size=512, refresh_interval=8192,
+            neg_sampler=1, tile_size=512, refresh_interval=refresh,
             his_refresh="subepoch", update_mode="direct",
         )
     elif mode == "exact":
@@ -59,8 +63,8 @@ def run(
             f"unknown mode {mode!r} (expected fast|direct|exact)"
         )
     cfg = CFConfig(
-        emb_dim=64, num_negs=16, max_his=100, batch_size=8192,
-        l_r=0.01, clip_val=1.0, milestones=[10], seed=seed,
+        emb_dim=64, num_negs=16, max_his=100, batch_size=batch_size,
+        l_r=l_r, clip_val=1.0, milestones=[10], seed=seed,
         metrics=METRICS, compute_dtype=dtype, param_dtype=param_dtype, **kw,
     )
     eng = Engine(cfg, train, test)
@@ -86,6 +90,12 @@ def main() -> None:
         help="comma list of mode[:compute_dtype[:param_dtype]] entries, "
         "e.g. 'fast,fast:bfloat16,fast:bfloat16:bfloat16,exact'",
     )
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument(
+        "--lr", type=float, default=0.01,
+        help="learning rate (the 16384-batch throughput mode uses 0.02 — "
+        "linear batch scaling)",
+    )
     args = ap.parse_args()
 
     train, test = synthetic_click_dataset(
@@ -98,7 +108,8 @@ def main() -> None:
         dtype = parts[1] if len(parts) > 1 else "float32"
         param_dtype = parts[2] if len(parts) > 2 else "float32"
         out[spec] = run(
-            mode, train, test, args.epochs, dtype, param_dtype, args.seed
+            mode, train, test, args.epochs, dtype, param_dtype, args.seed,
+            args.batch, args.lr,
         )
         print(json.dumps({spec: out[spec]}), flush=True)
     if "fast" not in out or "exact" not in out:

@@ -365,3 +365,57 @@ def test_update_mode_direct_validation():
         small_cfg(update_mode="direct", sgd_mode="accum")
     with pytest.raises(ValueError, match="update_mode"):
         small_cfg(update_mode="bogus")
+
+
+def test_train_epochs_matches_sequential(data):
+    """train_epochs(n) (one multi-epoch device program) must reproduce n
+    sequential train_one_epoch calls: same key draws, same LR schedule,
+    same losses, same final tables."""
+    train, test = data
+    cfg = small_cfg(milestones=[2])  # schedule kicks in mid-window
+    e_seq = Engine(cfg, train, test)
+    e_multi = Engine(cfg, train, test)
+    seq = [e_seq.train_one_epoch() for _ in range(4)]
+    multi = e_multi.train_epochs(4)
+    np.testing.assert_allclose(multi, seq, rtol=1e-6)
+    assert e_multi.epoch == e_seq.epoch == 4
+    np.testing.assert_allclose(
+        np.asarray(e_multi.state.user_emb),
+        np.asarray(e_seq.state.user_emb),
+        rtol=2e-6, atol=2e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(e_multi.state.item_emb),
+        np.asarray(e_seq.state.item_emb),
+        rtol=2e-6, atol=2e-7,
+    )
+    # Interleaving keeps the key stream aligned: more epochs agree too.
+    np.testing.assert_allclose(
+        e_multi.train_epochs(2),
+        [e_seq.train_one_epoch() for _ in range(2)],
+        rtol=1e-6,
+    )
+
+
+def test_train_epochs_fallback_paths(data):
+    """Configs outside the fast path fall back to sequential epochs with
+    identical results."""
+    train, test = data
+    cfg = small_cfg(num_subepochs=2)
+    e1 = Engine(cfg, train, test)
+    e2 = Engine(cfg, train, test)
+    seq = [e1.train_one_epoch() for _ in range(2)]
+    multi = e2.train_epochs(2)
+    np.testing.assert_allclose(multi, seq, rtol=1e-6)
+
+
+def test_train_epochs_tile_sampler(data):
+    """SamplerState (tile + refresh countdown) carries across the epoch
+    scan exactly as across sequential calls."""
+    train, test = data
+    cfg = small_cfg(neg_sampler=1, tile_size=64, refresh_interval=512)
+    e_seq = Engine(cfg, train, test)
+    e_multi = Engine(cfg, train, test)
+    seq = [e_seq.train_one_epoch() for _ in range(3)]
+    multi = e_multi.train_epochs(3)
+    np.testing.assert_allclose(multi, seq, rtol=1e-6)
