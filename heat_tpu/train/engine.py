@@ -450,6 +450,11 @@ class Engine:
         total_loss = 0.0
         if cfg.num_subepochs <= 1:
             total_loss = self._run_pairs(self.pairs)
+            if cfg.sgd_mode == SGD_MODE_ACCUM:
+                # The reference zeroes the grad tables at the end of EVERY
+                # sub-epoch — including the only one (engine.cpp:345-347
+                # runs inside the sub-epoch loop).
+                self.state = zero_grad_accumulators(self.state)
         else:
             # Item-column partitioning (engine.cpp:91-131).
             perm = self._np_rng.permutation(cfg.num_items)
@@ -492,14 +497,14 @@ class Engine:
         cfg = self.cfg
         if (
             n <= 1
-            or self.mesh is not None
+            or self._multiprocess
             or cfg.num_subepochs > 1
             or cfg.shuffle_mode != "epoch"
             or int(self.pairs.shape[0]) == 0
         ):
             return [self.train_one_epoch() for _ in range(n)]
         if self._multi_epoch_fn is None:
-            self._multi_epoch_fn = make_multi_epoch_fn(cfg)
+            self._multi_epoch_fn = make_multi_epoch_fn(cfg, self.mesh)
         lrs = jnp.asarray(
             [
                 scheduled_lr(
@@ -516,14 +521,24 @@ class Engine:
         for _ in range(n):
             shuffle_keys.append(self._next_key())
             epoch_keys.append(self._next_key())
+        shuffle_keys = jnp.stack(shuffle_keys)
+        epoch_keys = jnp.stack(epoch_keys)
+        pairs = self.pairs
+        if self._replicated is not None:
+            # Mesh mode: small inputs ride replicated so the fused program
+            # sees consistent placements against the sharded state.
+            shuffle_keys, epoch_keys, lrs, pairs = (
+                jax.device_put(x, self._replicated)
+                for x in (shuffle_keys, epoch_keys, lrs, pairs)
+            )
         with self.timer.phase("f_b"):
             self.state, self.sampler_state, loss_sums = self._multi_epoch_fn(
                 self.state,
                 self.sampler_state,
-                jnp.stack(shuffle_keys),
-                jnp.stack(epoch_keys),
+                shuffle_keys,
+                epoch_keys,
                 lrs,
-                self.pairs,
+                pairs,
                 self.his_items,
                 self.his_masks,
             )

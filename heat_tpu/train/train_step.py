@@ -476,7 +476,7 @@ def shuffle_pairs(key: jax.Array, pairs: jnp.ndarray, total: int):
     return su, sp
 
 
-def make_multi_epoch_fn(cfg: CFConfig):
+def make_multi_epoch_fn(cfg: CFConfig, mesh=None):
     """Build a jitted MULTI-epoch program: scan over epochs, each doing the
     epoch-order shuffle, the LR schedule step, the cached-pool refresh, and
     the batch scan — all on device.
@@ -487,15 +487,31 @@ def make_multi_epoch_fn(cfg: CFConfig):
     program — the idiomatic XLA shape of the reference's outer driver loop
     (main.py:106-114), bounded by eval_interval in the CLI.
 
-    Covers the single-process unsharded fast path (no sub-epoch item
-    partitioning, per-epoch shuffle); Engine.train_epochs falls back to
-    per-epoch calls otherwise.
+    Covers the single-process fast path (no sub-epoch item partitioning,
+    per-epoch shuffle) — unsharded or over a GSPMD ``mesh``, where the
+    on-device shuffle stays replicated and the packed batches are
+    sharding-constrained over the "data" axis exactly like the per-epoch
+    path's host-side ``device_put`` (Engine._make_batches), so the scanned
+    step compiles to the same collective layout. Engine.train_epochs falls
+    back to per-epoch calls for multi-process meshes (each process holds
+    only its pair shard) and sub-epoch partitioning.
 
     Returns f(state, sampler_state, shuffle_keys (E,), epoch_keys (E,),
               lrs (E,), pairs (N, 2), his_items, his_masks)
         -> (state, sampler_state, loss_sums (E,))
     """
     from heat_tpu.models.aggregator import user_pools_impl
+
+    d_ax = 1
+    batch_sh = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from heat_tpu.parallel.mesh import DATA_AXIS
+
+        d_ax = mesh.shape[DATA_AXIS]
+        # (num_batches, batch) arrays: split the batch dim over "data"
+        # (parallel.mesh.batch_sharding's layout).
+        batch_sh = NamedSharding(mesh, PartitionSpec(None, DATA_AXIS))
 
     def multi_epoch_fn(
         state,
@@ -509,12 +525,15 @@ def make_multi_epoch_fn(cfg: CFConfig):
     ):
         n = pairs.shape[0]
         batch = min(cfg.batch_size, max(1, n))
+        batch = -(-batch // d_ax) * d_ax  # divisible by the data axis
         num_batches = -(-n // batch)
         total = num_batches * batch
         weight = (
             (jnp.arange(total) < n).astype(jnp.float32)
             .reshape(num_batches, batch)
         )
+        if batch_sh is not None:
+            weight = jax.lax.with_sharding_constraint(weight, batch_sh)
 
         def epoch_body(carry, xs):
             state, sampler_state = carry
@@ -523,6 +542,12 @@ def make_multi_epoch_fn(cfg: CFConfig):
             su, sp = shuffle_pairs(k_shuf, pairs, total)
             users = su.reshape(num_batches, batch)
             pos = sp.reshape(num_batches, batch)
+            if batch_sh is not None:
+                # Match the per-epoch path's host-side placement
+                # (Engine._make_batches device_puts batches P(None, "data")):
+                # each scanned (batch,) slice is split over the data axis.
+                users = jax.lax.with_sharding_constraint(users, batch_sh)
+                pos = jax.lax.with_sharding_constraint(pos, batch_sh)
             bkeys = jax.random.split(k_epoch, num_batches)
             user_means = None
             if cfg.his_refresh == "subepoch":
