@@ -212,6 +212,38 @@ def _pairs_by_tile(
 MASK_BITS_MAX_BYTES = 1 << 30
 
 
+def pack_train_bits(
+    train_pairs: np.ndarray | None,
+    num_rows: int,
+    num_items: int,
+    pad_items: int | None = None,
+) -> np.ndarray:
+    """Pack (user, item) pairs into a (num_rows, ceil(pad_items/32)) u32
+    bitmap; bits for item ids in [num_items, pad_items) are pre-set so the
+    pad region is hard-masked. Row ids index rows directly (callers pass
+    tile-local or shard-local user ids)."""
+    if pad_items is None:
+        pad_items = num_items
+    words = -(-pad_items // 32)
+    bits = np.zeros((num_rows, words), np.uint32)
+    if train_pairs is not None and len(train_pairs):
+        np.bitwise_or.at(
+            bits,
+            (train_pairs[:, 0], train_pairs[:, 1] >> 5),
+            np.uint32(1) << (train_pairs[:, 1] & 31).astype(np.uint32),
+        )
+    if pad_items > num_items:
+        pad_ids = np.arange(num_items, pad_items)
+        pad_words = np.zeros((words,), np.uint32)
+        np.bitwise_or.at(
+            pad_words,
+            pad_ids >> 5,
+            np.uint32(1) << (pad_ids & 31).astype(np.uint32),
+        )
+        bits |= pad_words[None, :]
+    return bits
+
+
 class TiledEvaluator:
     """Reusable tiled evaluator: the train-pair mask tensors are built and
     uploaded once (they are static per dataset), so repeated evaluations
@@ -420,6 +452,166 @@ def topk_scores(
         train_pairs, int(user_emb.shape[0]), user_tile=user_tile
     )
     return ev.topk(user_emb, item_emb, k, exact=exact, return_scores=True)
+
+
+def sharded_topk_supported(
+    mesh, num_items: int, k: int, num_users: int
+) -> bool:
+    """Geometry check for :func:`sharded_topk` (see its docstring)."""
+    from heat_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    n_model = mesh.shape[MODEL_AXIS]
+    n_data = mesh.shape[DATA_AXIS]
+    i_loc = num_items // n_model
+    return (
+        num_items % (32 * n_model) == 0
+        and num_users % n_data == 0
+        and k <= i_loc
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def make_sharded_topk(
+    mesh,
+    k: int,
+    exact: bool = True,
+    recall_target: float = 0.95,
+    user_chunk: int = 1024,
+):
+    """Build (and cache) the jitted distributed top-k program for a mesh.
+
+    See :func:`sharded_topk` for semantics; cached so repeated evaluations
+    reuse one compiled program per (mesh, k, mode).
+    """
+    return _build_sharded_topk(mesh, k, exact, recall_target, user_chunk)
+
+
+def sharded_topk(
+    mesh,
+    user_emb,
+    item_emb,
+    bits,
+    k: int,
+    *,
+    exact: bool = True,
+    recall_target: float = 0.95,
+    user_chunk: int = 1024,
+):
+    """Distributed exact top-k over a GSPMD mesh — the TPU-native
+    replacement for "allgather the item table to every host"
+    (VERDICT r1 item 4; reference analog: every rank scores its users
+    against the GLOBAL item table, engine.cpp:388-400).
+
+    shard_map kernel per (data, model) shard:
+      1. score this shard's user rows against its LOCAL item rows
+         (U_loc x I_loc MXU GEMM, user-chunked to bound memory),
+      2. apply this shard's slice of the packed train-pair bitmask,
+      3. per-shard top-k (two-phase exact, or approx_max_k when
+         exact=False) with ids rebased to GLOBAL item ids,
+      4. all_gather the k candidates per model shard (k * n_model per user
+         — the ONLY cross-shard item traffic) and merge exactly.
+
+    No device ever materializes more than (user_chunk, I_loc) scores plus
+    its own table shards; exactness follows from per-shard exactness plus
+    the exact merge.
+
+    Geometry requirements (checked by :func:`sharded_topk_supported`):
+    num_items divisible by 32 * n_model (so each shard's bitmask slice is
+    word-aligned), num_users divisible by n_data, k <= items per shard.
+
+    Args:
+      user_emb: (U, d) sharded P("data", None).
+      item_emb: (I, d) sharded P("model", None).
+      bits: (U, I//32) u32 packed train mask, sharded P("data", None)
+        (:func:`pack_train_bits` rows per user, global item ids).
+      k: ranks to return.
+
+    Returns:
+      (scores, ids): (U, k) arrays sharded P("data", None), descending.
+    """
+    return make_sharded_topk(mesh, k, exact, recall_target, user_chunk)(
+        user_emb, item_emb, bits
+    )
+
+
+def _build_sharded_topk(mesh, k, exact, recall_target, user_chunk):
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from heat_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+
+    def kernel(u_loc, i_loc_rows, bits_loc):
+        i_loc = i_loc_rows.shape[0]  # items per model shard
+        w_loc = i_loc // 32
+        m_idx = jax.lax.axis_index(MODEL_AXIS)
+        item_offset = m_idx * i_loc
+        item_t = i_loc_rows.astype(jnp.float32).T
+        my_bits = jax.lax.dynamic_slice_in_dim(
+            bits_loc, m_idx * w_loc, w_loc, axis=1
+        )
+        u_rows = u_loc.shape[0]
+        chunk = min(user_chunk, u_rows)
+        n_chunks = -(-u_rows // chunk)
+        pad = n_chunks * chunk - u_rows
+        if pad:
+            u_loc = jnp.concatenate(
+                [u_loc, jnp.zeros((pad, u_loc.shape[1]), u_loc.dtype)]
+            )
+            my_bits = jnp.concatenate(
+                [my_bits, jnp.zeros((pad, w_loc), my_bits.dtype)]
+            )
+        u_chunks = u_loc.reshape(n_chunks, chunk, -1)
+        b_chunks = my_bits.reshape(n_chunks, chunk, w_loc)
+
+        def body(carry, xs):
+            uc, bc = xs
+            # precision=HIGHEST: ranking feeds on these scores (see
+            # _topk_all_tiles for the bf16-truncation hazard).
+            sim = jnp.dot(
+                uc.astype(jnp.float32),
+                item_t,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            simp = sim.reshape(chunk, w_loc, 32)
+            masked = jnp.where(
+                (bc[:, :, None] >> shifts) & 1 == 1, NEG_INF, simp
+            ).reshape(chunk, i_loc)
+            if exact:
+                if i_loc >= _TOPK_2PHASE_MIN_ITEMS:
+                    s, ids = exact_topk_2phase(masked, k)
+                else:
+                    s, ids = jax.lax.top_k(masked, k)
+            else:
+                masked = jax.lax.optimization_barrier(masked)
+                s, ids = jax.lax.approx_max_k(
+                    masked, k, recall_target=recall_target
+                )
+            return carry, (s, ids.astype(jnp.int32) + item_offset)
+
+        _, (s, ids) = jax.lax.scan(body, None, (u_chunks, b_chunks))
+        s = s.reshape(n_chunks * chunk, k)[:u_rows]
+        ids = ids.reshape(n_chunks * chunk, k)[:u_rows]
+        # Merge across model shards: k * n_model candidates per user.
+        s_all = jax.lax.all_gather(s, MODEL_AXIS, axis=1, tiled=True)
+        ids_all = jax.lax.all_gather(ids, MODEL_AXIS, axis=1, tiled=True)
+        s_top, sel = jax.lax.top_k(s_all, k)
+        return s_top, jnp.take_along_axis(ids_all, sel, axis=1)
+
+    fn = shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS, None),
+            P(MODEL_AXIS, None),
+            P(DATA_AXIS, None),
+        ),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+        check_rep=False,
+    )
+    return jax.jit(fn)
 
 
 def full_sim_matrix(user_emb, item_emb) -> np.ndarray:

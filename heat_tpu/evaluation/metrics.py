@@ -254,7 +254,12 @@ def evaluate_metrics_device(
     return {m: float(v) for m, v in zip(metrics, vals)}
 
 
-def _device_metrics_compute(top, truth, truth_len, specs):
+def _device_metric_sums_compute(top, truth, truth_len, specs):
+    """Per-metric SUMS over valid users plus the valid-user count (last
+    element) — the combinable form for cross-host averaging. When the
+    inputs are GSPMD-sharded over the user axis, the jnp.sum reductions
+    compile to cross-shard collectives and the outputs are replicated
+    scalars: no per-user data ever leaves the devices."""
     import jax.numpy as jnp
 
     hits = jnp.any(
@@ -262,15 +267,21 @@ def _device_metrics_compute(top, truth, truth_len, specs):
     ).astype(jnp.float32)
     num_true = truth_len.astype(jnp.float32)
     valid = num_true > 0
-    denom = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
-    vals = [
+    sums = [
         jnp.sum(
             jnp.where(valid, _device_metric_values(n, k, hits, num_true), 0.0)
         )
-        / denom
         for n, k in specs
     ]
-    return jnp.stack(vals)
+    return jnp.stack(sums + [jnp.sum(valid.astype(jnp.float32))])
+
+
+def _device_metrics_compute(top, truth, truth_len, specs):
+    import jax.numpy as jnp
+
+    out = _device_metric_sums_compute(top, truth, truth_len, specs)
+    denom = jnp.maximum(out[-1], 1.0)
+    return out[:-1] / denom
 
 
 def _make_device_metrics_jit():
@@ -281,6 +292,52 @@ def _make_device_metrics_jit():
     return functools.partial(jax.jit, static_argnames=("specs",))(
         _device_metrics_compute
     )
+
+
+def _make_device_metric_sums_jit():
+    import functools
+
+    import jax
+
+    return functools.partial(jax.jit, static_argnames=("specs",))(
+        _device_metric_sums_compute
+    )
+
+
+def device_metric_sums(
+    metrics: Sequence[str], top_k_items, truth, truth_len
+) -> "np.ndarray":
+    """On-device per-metric sums + valid-user count: the cross-host
+    combinable form of :func:`evaluate_metrics_device`.
+
+    With inputs sharded over the user axis of a multi-process mesh, this is
+    an exact global reduction — every process receives the same replicated
+    scalars, so averaging across hosts is sums[:-1] / sums[-1] with no
+    further communication (closes the SURVEY section 3.3 metric-combine
+    gap; the reference never combines rank-local metrics).
+    """
+    import jax.numpy as jnp
+
+    parsed = tuple(parse_metric(m) for m in metrics)
+    max_k = max(k for _, k in parsed)
+    if top_k_items.shape[1] < max_k:
+        raise ValueError(
+            f"top_k_items has {top_k_items.shape[1]} ranks < max k {max_k}"
+        )
+    if _LazySumsJit._fn is None:
+        _LazySumsJit._fn = _make_device_metric_sums_jit()
+    return np.asarray(
+        _LazySumsJit._fn(
+            jnp.asarray(top_k_items)[:, :max_k],
+            jnp.asarray(truth),
+            jnp.asarray(truth_len),
+            parsed,
+        )
+    )
+
+
+class _LazySumsJit:
+    _fn = None
 
 
 class _LazyJit:

@@ -574,7 +574,12 @@ class Engine:
         max_k = max(parse_metric(m)[1] for m in metrics)
         if self._multiprocess:
             return self._evaluate_multiprocess(
-                metrics, max_k, user_tile, aggregate_users
+                metrics,
+                max_k,
+                user_tile,
+                aggregate_users,
+                exact=exact,
+                recall_target=recall_target,
             )
         user_emb = self.state.user_emb[: self.cfg.num_users]
         if aggregate_users:
@@ -612,30 +617,132 @@ class Engine:
                 metrics, top_ids, *self._truth_dev
             )
 
+    def _mp_eval_tensors(self):
+        """Build (once) the global sharded eval tensors: the packed
+        train-pair bitmask and the padded truth, each row-sharded over the
+        data axis alongside the user table."""
+        if getattr(self, "_mp_eval_cache", None) is not None:
+            return self._mp_eval_cache
+        from jax.experimental import multihost_utils
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from heat_tpu.evaluation.evaluator import pack_train_bits
+        from heat_tpu.parallel.mesh import DATA_AXIS
+
+        cfg = self.cfg
+        start, end = user_range_bounds(
+            cfg.num_users, jax.process_count(), jax.process_index()
+        )
+        u_loc = end - start
+        local_pairs = np.asarray(self.train_data.pairs).copy()
+        if len(local_pairs):
+            local_pairs[:, 0] -= start
+        bits_local = pack_train_bits(local_pairs, u_loc, cfg.num_items)
+        truth_local, len_local = pad_truth(self.test_data.user_items)
+        if truth_local.shape[0] < u_loc:  # trailing users without test rows
+            pad = u_loc - truth_local.shape[0]
+            truth_local = np.concatenate(
+                [truth_local, np.full((pad, truth_local.shape[1]), -1,
+                                      np.int32)]
+            )
+            len_local = np.concatenate([len_local, np.zeros(pad, np.int32)])
+        truth_local = truth_local[:u_loc]
+        len_local = len_local[:u_loc]
+        # All hosts must agree on the truth pad width.
+        widths = multihost_utils.process_allgather(
+            np.asarray([truth_local.shape[1]])
+        )
+        width = int(np.max(widths))
+        if truth_local.shape[1] < width:
+            truth_local = np.concatenate(
+                [
+                    truth_local,
+                    np.full(
+                        (u_loc, width - truth_local.shape[1]), -1, np.int32
+                    ),
+                ],
+                axis=1,
+            )
+        row_sh = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        vec_sh = NamedSharding(self.mesh, P(DATA_AXIS))
+        self._mp_eval_cache = (
+            jax.make_array_from_process_local_data(row_sh, bits_local),
+            jax.make_array_from_process_local_data(row_sh, truth_local),
+            jax.make_array_from_process_local_data(vec_sh, len_local),
+        )
+        return self._mp_eval_cache
+
     def _evaluate_multiprocess(
         self,
         metrics: Sequence[str],
         max_k: int,
         user_tile: int,
         aggregate_users: bool = False,
+        exact: bool = True,
+        recall_target: float = 0.99,
     ) -> dict[str, float]:
-        """Per-host ranking eval + exact cross-host metric averaging.
+        """Distributed ranking eval: shard_map top-k + on-device global
+        metric reduction.
 
-        The reference evaluates per rank and never combines metrics
-        (SURVEY.md section 3.3 flags this as a gap); here each host scores
-        its user rows against the allgathered item table and the per-user
-        metric sums are combined across hosts.
+        The reference evaluates per rank against the global item table and
+        never combines metrics (SURVEY.md section 3.3 flags this as a gap).
+        Here nothing is ever materialized whole: each (data, model) shard
+        scores its user rows against its LOCAL item rows, per-shard top-k
+        candidates are merged with one k*n_model all_gather
+        (evaluator.sharded_topk), and the metric averages are exact global
+        on-device reductions (metrics.device_metric_sums) — only
+        len(metrics)+1 scalars reach each host. Honors exact=False via the
+        per-shard approx_max_k at ``recall_target``.
         """
+        from heat_tpu.evaluation.evaluator import (
+            sharded_topk,
+            sharded_topk_supported,
+        )
+        from heat_tpu.evaluation.metrics import device_metric_sums
+
+        cfg = self.cfg
+        user_arr = self.state.user_emb
+        if aggregate_users:
+            user_arr = aggregate_history(
+                user_arr, self._pooled_history(), self.state.w0, cfg.gamma
+            )
+        if not sharded_topk_supported(
+            self.mesh, cfg.num_items, max_k, cfg.num_users
+        ):
+            return self._evaluate_multiprocess_allgather(
+                metrics, max_k, user_tile, user_arr
+            )
+        bits, truth, truth_len = self._mp_eval_tensors()
+        _, top_ids = sharded_topk(
+            self.mesh,
+            user_arr,
+            self.state.item_emb,
+            bits,
+            max_k,
+            exact=exact,
+            recall_target=recall_target,
+            user_chunk=user_tile,
+        )
+        sums = device_metric_sums(metrics, top_ids, truth, truth_len)
+        denom = max(float(sums[-1]), 1.0)
+        return {m: float(sums[i]) / denom for i, m in enumerate(metrics)}
+
+    def _evaluate_multiprocess_allgather(
+        self,
+        metrics: Sequence[str],
+        max_k: int,
+        user_tile: int,
+        user_arr,
+    ) -> dict[str, float]:
+        """Fallback for geometries the shard_map path cannot cover
+        (num_items not divisible by 32 * model-axis, or k > items/shard):
+        each host allgathers the item table — O(I*d) per host — and scores
+        locally. Metric sums are combined exactly across hosts."""
         from jax.experimental import multihost_utils
 
         item_emb = multihost_utils.process_allgather(
             self.state.item_emb, tiled=True
         )
-        user_arr = self.state.user_emb
-        if aggregate_users:
-            user_arr = aggregate_history(
-                user_arr, self._pooled_history(), self.state.w0, self.cfg.gamma
-            )
         user_local = _process_local_rows(user_arr)
         start, _ = user_range_bounds(
             self.cfg.num_users, jax.process_count(), jax.process_index()

