@@ -64,6 +64,7 @@ def segment_sum_by_id(
 DENSE_ROWS_THRESHOLD = 4 * 1024 * 1024
 
 
+@jax.named_scope("write_emb")
 def apply_row_updates(
     table: jnp.ndarray,
     ids: jnp.ndarray,
@@ -127,6 +128,7 @@ def apply_row_updates(
     )
 
 
+@jax.named_scope("write_emb")
 def apply_row_updates_direct(
     table: jnp.ndarray,
     ids: jnp.ndarray,
@@ -189,6 +191,7 @@ def _apply_row_updates_dense(
     return new_table, new_gacc
 
 
+@jax.named_scope("aggr_b")
 def dense_opt_update(
     param: jnp.ndarray,
     g: jnp.ndarray,
@@ -224,6 +227,7 @@ def dense_opt_update(
     return param - (lr * upd).astype(param.dtype), new_slots
 
 
+@jax.named_scope("write_emb")
 def apply_row_updates_opt(
     table: jnp.ndarray,
     ids: jnp.ndarray,

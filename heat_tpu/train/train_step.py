@@ -82,7 +82,13 @@ def train_step(
       from the live item table per step (reference semantics).
     """
     users, pos, weight = batch
-    sample, sampler_state = sample_negatives(key, sampler_state, pos, cfg)
+    # jax.named_scope labels below follow the reference's 15-phase
+    # time_map taxonomy (thread_buffer.hpp:32-46) so profiler traces
+    # (--profile-dir) map onto Engine::performance_breakdown's tree
+    # (engine.cpp:22-65). Negative sampling is stamped "data" like the
+    # reference's sample-read+sampling block (engine.cpp:326-335).
+    with jax.named_scope("data"):
+        sample, sampler_state = sample_negatives(key, sampler_state, pos, cfg)
     negs = sample.ids
     # The tile fast path keeps negative gathers/scatters inside the
     # T-row tile (HEAT's cache-tiling insight mapped to a small working
@@ -103,15 +109,17 @@ def train_step(
     user_emb, item_emb, w0 = state.user_emb, state.item_emb, state.w0
     compute = jnp.dtype(cfg.compute_dtype)
 
-    u_rows = user_emb[users].astype(compute)
-    p_rows = item_emb[pos].astype(compute)
+    with jax.named_scope("read_emb"):
+        u_rows = user_emb[users].astype(compute)
+        p_rows = item_emb[pos].astype(compute)
     if tiled:
         # Whole-tile scoring: gather the T tile rows once and score every
         # user against all of them on the MXU; the K sampled draws enter
         # only as per-(sample, slot) multiplicities. This avoids both
         # (B, K)-indexed gathers (ids and rows) and the (B*K)-row gradient
         # fold — the tile gradient is the transposed score matmul.
-        n_rows = item_emb[sample.tile].astype(compute)  # (T, d)
+        with jax.named_scope("read_emb"):
+            n_rows = item_emb[sample.tile].astype(compute)  # (T, d)
         # Draw multiplicities by fused compare-reduce over the tile axis —
         # measured ~6x cheaper than a (B*K)-element scatter-add on v5e
         # (TPU scatters pay per index; this is one VPU pass).
@@ -121,7 +129,8 @@ def train_step(
             axis=1,
         )
     else:
-        n_rows = item_emb[negs].astype(compute)
+        with jax.named_scope("read_emb"):
+            n_rows = item_emb[negs].astype(compute)
     # History pooling (cfg.aggregator: mean | self_attention |
     # user_attention). The mean is constant w.r.t. the differentiated
     # inputs, so it is computed outside the loss; the attention variants'
@@ -131,61 +140,79 @@ def train_step(
     his_embs = his_mask_b = None
     pooled_const = None
     if user_means is not None:
-        pooled_const = jax.lax.stop_gradient(user_means[users]).astype(compute)
+        with jax.named_scope("read_his"):
+            pooled_const = jax.lax.stop_gradient(
+                user_means[users]
+            ).astype(compute)
     else:
-        if his_items.ndim == 1:
-            # Flat (U*H,) layout (small max_his — see Engine/
-            # compute_user_pools: avoids the 128-lane padding of a narrow
-            # (U, H) array).
-            h = cfg.max_his
-            his_ids = his_items[
-                users[:, None] * h
-                + jnp.arange(h, dtype=users.dtype)[None, :]
-            ]
-        else:
-            his_ids = his_items[users]               # (B, H)
-        his_embs = jax.lax.stop_gradient(item_emb[his_ids]).astype(compute)
-        his_mask_b = his_masks[users]
+        with jax.named_scope("read_his"):
+            if his_items.ndim == 1:
+                # Flat (U*H,) layout (small max_his — see Engine/
+                # compute_user_pools: avoids the 128-lane padding of a
+                # narrow (U, H) array).
+                h = cfg.max_his
+                his_ids = his_items[
+                    users[:, None] * h
+                    + jnp.arange(h, dtype=users.dtype)[None, :]
+                ]
+            else:
+                his_ids = his_items[users]               # (B, H)
+            his_embs = jax.lax.stop_gradient(
+                item_emb[his_ids]
+            ).astype(compute)
+            his_mask_b = his_masks[users]
         if cfg.aggregator == "mean":
-            pooled_const = history_mean(his_embs, his_mask_b)  # (B, d)
+            with jax.named_scope("aggr_f"):
+                pooled_const = history_mean(his_embs, his_mask_b)  # (B, d)
 
     def batch_loss(u_rows, p_rows, n_rows, w0, attn_q=None):
         if pooled_const is not None:
             means = pooled_const
         else:
-            means = pool_history(
-                his_embs,
-                his_mask_b,
-                u=u_rows,
-                attn_q=None if attn_q is None else attn_q.astype(compute),
-                kind=cfg.aggregator,
+            with jax.named_scope("aggr_f"):
+                means = pool_history(
+                    his_embs,
+                    his_mask_b,
+                    u=u_rows,
+                    attn_q=None if attn_q is None else attn_q.astype(compute),
+                    kind=cfg.aggregator,
+                )
+        # "his_mm": the means x weights0 matmul + gamma blend
+        # (behavior_aggregators.cpp:118-122).
+        with jax.named_scope("his_mm"):
+            u_agg = aggregate_history(
+                u_rows, means, w0.astype(compute), cfg.gamma
             )
-        u_agg = aggregate_history(u_rows, means, w0.astype(compute), cfg.gamma)
-        if tiled:
-            s_up, S = tile_scores(
-                u_agg, p_rows, n_rows, similarity=cfg.similarity
-            )
-            losses = sample_losses_weighted(
-                s_up, S, counts, cfg.num_negs, cfg
-            )
-        else:
-            s_up, s_un = pair_scores(
-                u_agg, p_rows, n_rows, similarity=cfg.similarity
-            )
-            losses = sample_losses(s_up, s_un, cfg)   # (B,)
+        with jax.named_scope("dot"):
+            if tiled:
+                s_up, S = tile_scores(
+                    u_agg, p_rows, n_rows, similarity=cfg.similarity
+                )
+            else:
+                s_up, s_un = pair_scores(
+                    u_agg, p_rows, n_rows, similarity=cfg.similarity
+                )
+        with jax.named_scope("loss"):
+            if tiled:
+                losses = sample_losses_weighted(
+                    s_up, S, counts, cfg.num_negs, cfg
+                )
+            else:
+                losses = sample_losses(s_up, s_un, cfg)   # (B,)
         return jnp.sum(losses * weight), (u_agg, means)
 
     g_q = None
-    if cfg.aggregator == "self_attention":
-        (loss_sum, (u_agg, means)), grads = jax.value_and_grad(
-            batch_loss, argnums=(0, 1, 2, 3, 4), has_aux=True
-        )(u_rows, p_rows, n_rows, w0, state.attn_q)
-        g_u, g_p, g_n, g_w0, g_q = grads
-    else:
-        (loss_sum, (u_agg, means)), grads = jax.value_and_grad(
-            batch_loss, argnums=(0, 1, 2, 3), has_aux=True
-        )(u_rows, p_rows, n_rows, w0)
-        g_u, g_p, g_n, g_w0 = grads
+    with jax.named_scope("grad"):
+        if cfg.aggregator == "self_attention":
+            (loss_sum, (u_agg, means)), grads = jax.value_and_grad(
+                batch_loss, argnums=(0, 1, 2, 3, 4), has_aux=True
+            )(u_rows, p_rows, n_rows, w0, state.attn_q)
+            g_u, g_p, g_n, g_w0, g_q = grads
+        else:
+            (loss_sum, (u_agg, means)), grads = jax.value_and_grad(
+                batch_loss, argnums=(0, 1, 2, 3), has_aux=True
+            )(u_rows, p_rows, n_rows, w0)
+            g_u, g_p, g_n, g_w0 = grads
 
     if state.user_gacc is not None:
         # Reference fidelity (accum mode): the aggregator backward reuses the
@@ -193,13 +220,14 @@ def train_step(
         # stale accumulated grad in addition to the current sample's
         # (behavior_aggregators.cpp:131-139 operate on the accumulated
         # buffer). Autodiff covers the current-sample term; add the stale one.
-        prev_acc = state.user_gacc[users].astype(jnp.float32)
-        g_w0 = g_w0 + (1.0 - cfg.gamma) * jnp.einsum(
-            "bi,bj->ij",
-            means.astype(jnp.float32) * weight[:, None],
-            prev_acc,
-            precision=jax.lax.Precision.HIGHEST,  # f32 operands (see ops/similarity.py)
-        )
+        with jax.named_scope("aggr_b"):
+            prev_acc = state.user_gacc[users].astype(jnp.float32)
+            g_w0 = g_w0 + (1.0 - cfg.gamma) * jnp.einsum(
+                "bi,bj->ij",
+                means.astype(jnp.float32) * weight[:, None],
+                prev_acc,
+                precision=jax.lax.Precision.HIGHEST,  # f32 operands (see ops/similarity.py)
+            )
 
     num_users = user_emb.shape[0]
     num_items = item_emb.shape[0]
@@ -341,9 +369,13 @@ def train_step(
     # Aggregator weights: B/aggr_minibatch reference updates collapsed.
     attn_q = state.attn_q
     if cfg.optimizer == "sgd":
-        w0 = w0 - state.lr * g_w0.astype(w0.dtype) / cfg.aggr_minibatch
-        if g_q is not None:
-            attn_q = attn_q - state.lr * g_q.astype(attn_q.dtype) / cfg.aggr_minibatch
+        with jax.named_scope("aggr_b"):
+            w0 = w0 - state.lr * g_w0.astype(w0.dtype) / cfg.aggr_minibatch
+            if g_q is not None:
+                attn_q = (
+                    attn_q
+                    - state.lr * g_q.astype(attn_q.dtype) / cfg.aggr_minibatch
+                )
     else:
         w0, opt_slots = dense_opt_update(
             w0,

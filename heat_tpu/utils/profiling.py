@@ -15,9 +15,16 @@ two complementary tools:
   percentage-tree report format;
 * jax.profiler integration — ``trace(dir)`` wraps a region in a profiler
   trace whose on-device timeline gives the intra-step breakdown the
-  reference got from manual stamps. Compute ops in the train step are
-  wrapped in jax.named_scope with the reference phase names so they are
-  findable in the trace viewer.
+  reference got from manual stamps. The train step's ops ARE wrapped in
+  jax.named_scope with the reference phase names (train_step.py and the
+  scatter update functions; asserted by tests/test_ops.py's
+  named-scope test), so trace-viewer op names map onto the reference
+  taxonomy. Mapping notes: "grad" covers the whole autodiff backward
+  (the reference's backward/grad stamps); "norm" is fused into "dot"
+  (cosine normalization happens inside the similarity kernel); "reg"
+  only exists under l2_enabled and lives inside "write_emb"; "f_b" and
+  "forward" are structural parents in the reference tree and appear
+  host-side via PhaseTimer instead.
 """
 
 from __future__ import annotations

@@ -124,3 +124,44 @@ def test_aggregate_blend():
     out = np.asarray(aggregate_history(u, means, w0, 0.4))
     # 0.4*1 + 0.6*(means@w0) = 0.4 + 0.6*2 = 1.6 ; 0.4 + 0.6*0 = 0.4
     np.testing.assert_allclose(out, [[1.6, 0.4]], rtol=1e-6)
+
+
+def test_train_step_named_scopes_present():
+    """The reference's time_map phase names (thread_buffer.hpp:32-46) must
+    appear as jax.named_scope labels in the lowered train step, so profiler
+    traces map onto Engine::performance_breakdown's taxonomy (VERDICT r1
+    item 8 / weak-point 2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from heat_tpu.config import CFConfig
+    from heat_tpu.models.state import init_train_state
+    from heat_tpu.train.samplers import init_sampler_state
+    from heat_tpu.train.train_step import Batch, train_step
+
+    cfg = CFConfig(
+        emb_dim=16, num_users=32, num_items=64, max_his=4, num_negs=3,
+        batch_size=8,
+    )
+    st = init_train_state(cfg, jax.random.key(0))
+    ss = init_sampler_state(cfg, jax.random.key(1))
+    his = jax.random.randint(
+        jax.random.key(2), (32, 4), 0, 64, dtype=jnp.int32
+    )
+    masks = jnp.full((32,), 4, jnp.int32)
+    b = Batch(
+        jnp.zeros(8, jnp.int32),
+        jnp.ones(8, jnp.int32),
+        jnp.ones(8, jnp.float32),
+    )
+    txt = jax.jit(
+        lambda st, ss, k, b: train_step(st, ss, k, b, his, masks, cfg)
+    ).lower(st, ss, jax.random.key(3), b).as_text(debug_info=True)
+    # "loss"/"dot"/"norm" collide with op names; assert the distinctive
+    # subset ("norm" is fused into the similarity kernel by design,
+    # utils/profiling.py docstring).
+    for phase in (
+        "data", "read_emb", "read_his", "aggr_f", "his_mm", "grad",
+        "write_emb", "aggr_b",
+    ):
+        assert phase in txt, f"named_scope {phase!r} missing from lowering"
