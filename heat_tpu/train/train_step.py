@@ -71,6 +71,8 @@ def train_step(
     cfg: CFConfig,
     neg_candidates: Optional[jnp.ndarray] = None,
     user_means: Optional[jnp.ndarray] = None,
+    uniq_users: Optional[jnp.ndarray] = None,
+    uniq_inverse: Optional[jnp.ndarray] = None,
 ) -> tuple[TrainState, SamplerState, jnp.ndarray]:
     """One fused minibatch step. Returns (state', sampler_state', loss_sum).
 
@@ -80,6 +82,16 @@ def train_step(
     user_means: optional precomputed (U, d) pooled-history table
       (cfg.his_refresh == "subepoch", any cfg.aggregator); None recomputes
       from the live item table per step (reference semantics).
+    uniq_users / uniq_inverse: optional history-gather dedup (mean
+      aggregator, his_refresh == "step" only): uniq_users (Bu,) lists the
+      batch's distinct user ids (padded by repetition), uniq_inverse (B,)
+      maps each sample to its slot. All reads in a batched step happen at
+      batch start, so duplicate users provably receive IDENTICAL means —
+      gathering H history rows once per DISTINCT user is therefore an
+      exact rewrite that cuts the step's dominant row-gather traffic by
+      the duplication factor (~clicks-per-user for parse-order streams,
+      the fork's live MPI visit order, engine.cpp:243-252). Engine
+      precomputes these host-side per epoch (shuffle_mode == "none").
     """
     users, pos, weight = batch
     # jax.named_scope labels below follow the reference's 15-phase
@@ -144,6 +156,26 @@ def train_step(
             pooled_const = jax.lax.stop_gradient(
                 user_means[users]
             ).astype(compute)
+    elif uniq_users is not None and cfg.aggregator == "mean":
+        # Dedup path: H-row history gathers once per DISTINCT batch user,
+        # then a cheap (B,) gather of the d-wide means. Exact: within a
+        # batched step every read sees the batch-start tables, so
+        # duplicate users' means are identical by construction.
+        with jax.named_scope("read_his"):
+            if his_items.ndim == 1:
+                h = cfg.max_his
+                his_ids = his_items[
+                    uniq_users[:, None] * h
+                    + jnp.arange(h, dtype=uniq_users.dtype)[None, :]
+                ]
+            else:
+                his_ids = his_items[uniq_users]          # (Bu, H)
+            his_embs_u = jax.lax.stop_gradient(
+                item_emb[his_ids]
+            ).astype(compute)
+        with jax.named_scope("aggr_f"):
+            means_u = history_mean(his_embs_u, his_masks[uniq_users])
+            pooled_const = means_u[uniq_inverse]         # (B, d)
     else:
         with jax.named_scope("read_his"):
             if his_items.ndim == 1:
@@ -441,6 +473,8 @@ def make_epoch_fn(cfg: CFConfig):
         his_items,
         his_masks,
         neg_candidates=None,
+        uniq_users=None,
+        uniq_inverse=None,
     ):
         num_batches = users.shape[0]
         keys = jax.random.split(key, num_batches)
@@ -460,9 +494,15 @@ def make_epoch_fn(cfg: CFConfig):
                 max_his=cfg.max_his,
             )
 
+        have_uniq = uniq_users is not None
+
         def body(carry, xs):
             state, sampler_state = carry
-            k, u, p, w = xs
+            if have_uniq:
+                k, u, p, w, uu, ui = xs
+            else:
+                k, u, p, w = xs
+                uu = ui = None
             state, sampler_state, loss = train_step(
                 state,
                 sampler_state,
@@ -473,11 +513,16 @@ def make_epoch_fn(cfg: CFConfig):
                 cfg,
                 neg_candidates=neg_candidates,
                 user_means=user_means,
+                uniq_users=uu,
+                uniq_inverse=ui,
             )
             return (state, sampler_state), loss
 
+        xs = (keys, users, pos, weight)
+        if have_uniq:
+            xs = xs + (uniq_users, uniq_inverse)
         (state, sampler_state), losses = jax.lax.scan(
-            body, (state, sampler_state), (keys, users, pos, weight)
+            body, (state, sampler_state), xs
         )
         return state, sampler_state, jnp.sum(losses)
 

@@ -419,3 +419,48 @@ def test_train_epochs_tile_sampler(data):
     seq = [e_seq.train_one_epoch() for _ in range(3)]
     multi = e_multi.train_epochs(3)
     np.testing.assert_allclose(multi, seq, rtol=1e-6)
+
+
+def test_history_dedup_exact_equivalence(data):
+    """The history-gather dedup (gather H rows once per DISTINCT batch
+    user when the stream is fixed, train_step uniq_users path) must be an
+    EXACT rewrite: identical losses and tables vs the undeduped step on
+    the same parse-order (user-grouped) stream."""
+    train, test = data
+    cfg = small_cfg(shuffle_mode="none", his_refresh="step")
+    e_dedup = Engine(cfg, train, test)
+    e_plain = Engine(cfg, train, test)
+    # Disable dedup on the control engine only.
+    e_plain._history_dedup = lambda pairs, users: None
+
+    l_d = [e_dedup.train_one_epoch() for _ in range(2)]
+    l_p = [e_plain.train_one_epoch() for _ in range(2)]
+    # The dedup actually engaged (parse order is user-grouped: ~B/clicks
+    # distinct users per batch).
+    cache = e_dedup._dedup_cache
+    assert cache is not None and cache[1] is not None, (
+        "dedup did not engage on a user-grouped stream"
+    )
+    bu = cache[1][0].shape[1]
+    assert bu < 0.7 * cfg.batch_size, bu
+    np.testing.assert_allclose(l_d, l_p, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(e_dedup.state.user_emb),
+        np.asarray(e_plain.state.user_emb),
+        rtol=1e-6, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(e_dedup.state.item_emb),
+        np.asarray(e_plain.state.item_emb),
+        rtol=1e-6, atol=1e-7,
+    )
+
+
+def test_history_dedup_skipped_for_shuffled_streams(data):
+    """Per-epoch shuffled batches have mostly-unique users: the dedup must
+    not activate (it would only add a gather)."""
+    train, test = data
+    cfg = small_cfg(shuffle_mode="epoch", his_refresh="step")
+    eng = Engine(cfg, train, test)
+    eng.train_one_epoch()
+    assert getattr(eng, "_dedup_cache", None) is None
