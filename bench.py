@@ -314,7 +314,7 @@ def main() -> None:
         user_items=[],
     )
     exact_grouped_s, _ = time_epochs(
-        "step", grouped, reps=2, shuffle_mode="none"
+        "step", grouped, reps=2, fused=3, shuffle_mode="none"
     )
     # Zipf-skewed headline (VERDICT r1 weak-point 4): hot-item scatter
     # collisions + short histories, same config as the headline.

@@ -553,10 +553,11 @@ class Engine:
             n <= 1
             or self._multiprocess
             or cfg.num_subepochs > 1
-            or cfg.shuffle_mode != "epoch"
             or int(self.pairs.shape[0]) == 0
         ):
             return [self.train_one_epoch() for _ in range(n)]
+        if cfg.shuffle_mode != "epoch":
+            return self._train_epochs_fixed(n)
         if self._multi_epoch_fn is None:
             self._multi_epoch_fn = make_multi_epoch_fn(cfg, self.mesh)
         lrs = jnp.asarray(
@@ -595,6 +596,75 @@ class Engine:
                 pairs,
                 self.his_items,
                 self.his_masks,
+            )
+            loss_sums = np.asarray(loss_sums)
+        self.epoch += n
+        return [float(s) / max(1, cfg.train_size) for s in loss_sums]
+
+    def _train_epochs_fixed(self, n: int) -> list[float]:
+        """Fused multi-epoch path for fixed batch streams (shuffle_mode
+        "none"/"once"): batches are packed once, the dedup maps ride
+        along, and n epochs run as ONE device program. Key draws match n
+        sequential train_one_epoch calls exactly ("once": one shuffle key
+        + one epoch key per epoch; "none": one epoch key)."""
+        from heat_tpu.train.train_step import make_multi_epoch_fixed_fn
+
+        cfg = self.cfg
+        with self.timer.phase("data"):
+            pairs = self.pairs
+            nloc = int(pairs.shape[0])
+            batch = min(cfg.batch_size, max(1, nloc))
+            batch = -(-batch // self._data_axis_size) * self._data_axis_size
+            num_batches = -(-nloc // batch)
+            users, pos, weight = self._shuffle_or_pack(
+                pairs, num_batches, batch
+            )
+            dedup = self._history_dedup(pairs, users)
+            if self._batch_sharding is not None:
+                users = jax.device_put(users, self._batch_sharding)
+                pos = jax.device_put(pos, self._batch_sharding)
+                weight = jax.device_put(weight, self._batch_sharding)
+        if getattr(self, "_multi_epoch_fixed_fn", None) is None:
+            self._multi_epoch_fixed_fn = make_multi_epoch_fixed_fn(
+                cfg, self.mesh
+            )
+        lrs = jnp.asarray(
+            [
+                scheduled_lr(
+                    cfg.l_r, self.epoch + i, cfg.milestones, cfg.lr_gamma
+                )
+                for i in range(n)
+            ],
+            jnp.float32,
+        )
+        epoch_keys = []
+        for i in range(n):
+            if cfg.shuffle_mode == "once" and i > 0:
+                # Sequential parity: each train_one_epoch call would draw
+                # (and discard, cache hit) one shuffle key.
+                self._next_key()
+            epoch_keys.append(self._next_key())
+        epoch_keys = jnp.stack(epoch_keys)
+        if self._replicated is not None:
+            epoch_keys, lrs = (
+                jax.device_put(x, self._replicated)
+                for x in (epoch_keys, lrs)
+            )
+        with self.timer.phase("f_b"):
+            self.state, self.sampler_state, loss_sums = (
+                self._multi_epoch_fixed_fn(
+                    self.state,
+                    self.sampler_state,
+                    epoch_keys,
+                    lrs,
+                    users,
+                    pos,
+                    weight,
+                    self.his_items,
+                    self.his_masks,
+                    dedup[0] if dedup else None,
+                    dedup[1] if dedup else None,
+                )
             )
             loss_sums = np.asarray(loss_sums)
         self.epoch += n

@@ -660,6 +660,12 @@ def make_multi_epoch_fn(cfg: CFConfig, mesh=None):
             (state, sampler_state), losses = jax.lax.scan(
                 body, (state, sampler_state), (bkeys, users, pos, weight)
             )
+            if state.user_gacc is not None:
+                # accum mode: grad tables zero at every (sub-)epoch end
+                # (engine.cpp:345-347; matches train_one_epoch).
+                from heat_tpu.models.state import zero_grad_accumulators
+
+                state = zero_grad_accumulators(state)
             return (state, sampler_state), jnp.sum(losses)
 
         (state, sampler_state), loss_sums = jax.lax.scan(
@@ -670,3 +676,109 @@ def make_multi_epoch_fn(cfg: CFConfig, mesh=None):
         return state, sampler_state, loss_sums
 
     return jax.jit(multi_epoch_fn, donate_argnums=(0, 1))
+
+
+def make_multi_epoch_fixed_fn(cfg: CFConfig, mesh=None):
+    """Fused multi-epoch program for FIXED batch streams (cfg.shuffle_mode
+    "none"/"once"): the packed (nb, B) batches are inputs reused by every
+    epoch — no on-device shuffle — and the history-gather dedup maps
+    (train_step uniq_users path) ride along when provided. This gives the
+    live-visit-order exact mode (parse-order streams, engine.cpp:243-252)
+    the same one-dispatch-per-E-epochs shape as the shuffled headline.
+
+    Returns f(state, sampler_state, epoch_keys (E,), lrs (E,),
+              users (nb, B), pos, weight, his_items, his_masks
+              [, uniq_users (nb, Bu), uniq_inverse (nb, B)])
+        -> (state, sampler_state, loss_sums (E,))
+    """
+    batch_sh = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from heat_tpu.parallel.mesh import DATA_AXIS
+
+        batch_sh = NamedSharding(mesh, PartitionSpec(None, DATA_AXIS))
+
+    from heat_tpu.models.aggregator import user_pools_impl
+
+    def multi_epoch_fixed_fn(
+        state,
+        sampler_state,
+        epoch_keys,
+        lrs,
+        users,
+        pos,
+        weight,
+        his_items,
+        his_masks,
+        uniq_users=None,
+        uniq_inverse=None,
+    ):
+        num_batches = users.shape[0]
+        if batch_sh is not None:
+            users = jax.lax.with_sharding_constraint(users, batch_sh)
+            pos = jax.lax.with_sharding_constraint(pos, batch_sh)
+            weight = jax.lax.with_sharding_constraint(weight, batch_sh)
+        have_uniq = uniq_users is not None
+
+        def epoch_body(carry, xs):
+            state, sampler_state = carry
+            k_epoch, lr = xs
+            state = state.replace(lr=lr)
+            bkeys = jax.random.split(k_epoch, num_batches)
+            user_means = None
+            if cfg.his_refresh == "subepoch":
+                user_means = user_pools_impl(
+                    state.item_emb,
+                    his_items,
+                    his_masks,
+                    user_emb=(
+                        state.user_emb
+                        if cfg.aggregator == "user_attention"
+                        else None
+                    ),
+                    attn_q=state.attn_q,
+                    aggregator=cfg.aggregator,
+                    max_his=cfg.max_his,
+                )
+
+            def body(c, bxs):
+                st, ss = c
+                if have_uniq:
+                    k, u, p, w, uu, ui = bxs
+                else:
+                    k, u, p, w = bxs
+                    uu = ui = None
+                st, ss, loss = train_step(
+                    st,
+                    ss,
+                    k,
+                    Batch(u, p, w),
+                    his_items,
+                    his_masks,
+                    cfg,
+                    user_means=user_means,
+                    uniq_users=uu,
+                    uniq_inverse=ui,
+                )
+                return (st, ss), loss
+
+            bxs = (bkeys, users, pos, weight)
+            if have_uniq:
+                bxs = bxs + (uniq_users, uniq_inverse)
+            (state, sampler_state), losses = jax.lax.scan(
+                body, (state, sampler_state), bxs
+            )
+            if state.user_gacc is not None:
+                # accum mode: grad tables zero at every (sub-)epoch end
+                # (engine.cpp:345-347; matches train_one_epoch).
+                from heat_tpu.models.state import zero_grad_accumulators
+
+                state = zero_grad_accumulators(state)
+            return (state, sampler_state), jnp.sum(losses)
+
+        (state, sampler_state), loss_sums = jax.lax.scan(
+            epoch_body, (state, sampler_state), (epoch_keys, lrs)
+        )
+        return state, sampler_state, loss_sums
+
+    return jax.jit(multi_epoch_fixed_fn, donate_argnums=(0, 1))

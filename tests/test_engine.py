@@ -464,3 +464,39 @@ def test_history_dedup_skipped_for_shuffled_streams(data):
     eng = Engine(cfg, train, test)
     eng.train_one_epoch()
     assert getattr(eng, "_dedup_cache", None) is None
+
+
+def test_train_epochs_fixed_stream_matches_sequential(data):
+    """Fixed-stream fused epochs (shuffle "none"/"once" -> ONE device
+    program, with the dedup maps riding along) must reproduce sequential
+    train_one_epoch calls exactly, including accum mode's epoch-end
+    grad-table zeroing."""
+    train, test = data
+    for mode, sgd_mode in (
+        ("none", "batch"), ("once", "batch"), ("none", "accum"),
+    ):
+        cfg = small_cfg(
+            shuffle_mode=mode, sgd_mode=sgd_mode, milestones=[2],
+            his_refresh="step",
+        )
+        e_seq = Engine(cfg, train, test)
+        e_fused = Engine(cfg, train, test)
+        seq = [e_seq.train_one_epoch() for _ in range(3)]
+        fused = e_fused.train_epochs(3)
+        np.testing.assert_allclose(fused, seq, rtol=1e-6, err_msg=str((mode, sgd_mode)))
+        np.testing.assert_allclose(
+            np.asarray(e_fused.state.user_emb),
+            np.asarray(e_seq.state.user_emb),
+            rtol=2e-6, atol=2e-7,
+        )
+        np.testing.assert_allclose(
+            np.asarray(e_fused.state.item_emb),
+            np.asarray(e_seq.state.item_emb),
+            rtol=2e-6, atol=2e-7,
+        )
+        # Key stream stays aligned across further mixed calls.
+        np.testing.assert_allclose(
+            e_fused.train_epochs(2),
+            [e_seq.train_one_epoch() for _ in range(2)],
+            rtol=1e-6,
+        )
