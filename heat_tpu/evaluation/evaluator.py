@@ -340,8 +340,10 @@ class TiledEvaluator:
         on-device metric evaluation — over a tunneled device link the (U, k)
         id download costs far more than the whole ranking compute.
         exact=False uses the TPU-native approx_max_k partial reduce at the
-        given recall_target (0.99 is ~6x faster than exact on v5e with ~1%
-        expected misses; 0.95 is ~13x).
+        given recall_target. Measured at AmazonBooks scale on v5e
+        (BENCH_r02): 0.95 is ~1.5x faster than the two-phase exact path
+        (0.23 s vs 0.34 s) with ~5% expected misses; 0.99 is at parity
+        with exact — at that recall, just use exact.
         """
         user_emb = jnp.asarray(user_emb)
         item_emb = jnp.asarray(item_emb)

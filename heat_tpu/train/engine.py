@@ -689,8 +689,9 @@ class Engine:
         training by the write-back).
 
         exact=False ranks with the TPU-native approx_max_k partial reduce
-        at ``recall_target`` (~6x faster than exact top-k at 0.99 on v5e) —
-        for frequent mid-training eval; final numbers should use exact.
+        at ``recall_target`` — measured ~1.5x faster than the two-phase
+        exact path at 0.95 on v5e (0.99 is at parity with exact; BENCH_r02)
+        — for frequent mid-training eval; final numbers should use exact.
         """
         if self.test_data is None:
             raise ValueError("no test_data provided")
