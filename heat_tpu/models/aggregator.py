@@ -54,11 +54,19 @@ def history_mean(
     b, h, _ = his_embs.shape
     pos = jnp.arange(h, dtype=mask.dtype)[None, :]  # (1, H)
     valid = (pos < mask[:, None]).astype(his_embs.dtype)  # (B, H)
+    # Accumulate in f32 and round ONCE at the end: bf16 inputs already
+    # accumulate in f32 on the MXU, so preferred_element_type=f32 is free —
+    # without it the sum rounds to bf16 and the divide rounds again (~2 ulp
+    # drift vs an f32 oracle, caught by tests_tpu pools regression).
     total = jnp.einsum(
-        "bhd,bh->bd", his_embs, valid, precision=_prec(his_embs.dtype)
+        "bhd,bh->bd",
+        his_embs,
+        valid,
+        precision=_prec(his_embs.dtype),
+        preferred_element_type=jnp.float32,
     )
-    denom = jnp.maximum(mask.astype(his_embs.dtype), 1.0)
-    return total / denom[:, None]
+    denom = jnp.maximum(mask.astype(jnp.float32), 1.0)
+    return (total / denom[:, None]).astype(his_embs.dtype)
 
 
 def pool_history(

@@ -44,7 +44,15 @@ def test_pools_clamp_regression():
         )(item, jnp.asarray(his), jnp.asarray(masks)),
         np.float32,
     )
-    # Independent numpy oracle from the same bf16 row values.
+    # Independent numpy oracle from the same bf16 row values, rounded to
+    # the pools' bf16 storage resolution: the device path accumulates the
+    # masked sum and divides in f32, then rounds ONCE into the bf16 table,
+    # so it may differ from the f32 oracle only by that single rounding
+    # (1 bf16 ulp = 2^-8 relative; the rtol allows 2 ulps for boundary
+    # flips where the f32 mean lands within accumulation-order noise of a
+    # rounding boundary — measured 78/1.28M elements at <=2 ulp). A
+    # clamp-shear regression shows up as whole rows taking ANOTHER row's
+    # values — errors at 100% relative scale, far outside this band.
     item_np = np.asarray(item, np.float32)
     rows = item_np[his]  # (U, H, D)
     keep = (np.arange(H)[None, :] < masks[:, None]).astype(np.float32)
@@ -52,7 +60,8 @@ def test_pools_clamp_regression():
         masks[:, None], 1
     ).astype(np.float32)
     want[masks == 0] = 0.0
-    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-6)
+    want_b = np.asarray(jnp.asarray(want, jnp.bfloat16), np.float32)
+    np.testing.assert_allclose(got, want_b, rtol=8e-3, atol=2e-6)
 
 
 def test_exact_topk_matches_host_ranking():
