@@ -69,6 +69,74 @@ def history_mean(
     return (total / denom[:, None]).astype(his_embs.dtype)
 
 
+def history_mean_fused(
+    item_emb: jnp.ndarray,
+    his_ids: jnp.ndarray,
+    mask: jnp.ndarray,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Masked history mean fused with its own gather, in small H-chunks.
+
+    ``history_mean`` consumes an already-materialized (B, H, d) gather;
+    at exact-mode geometry (8192 x 100 x 64 f32, v5e) that intermediate
+    is 210 MB of HBM write+read per step and the whole phase measures
+    6.3 ms. Gathering in chunks of C history slots and feeding each
+    (B, C, d) chunk straight into a masked contraction keeps the
+    intermediate small enough that the phase drops to 2.9 ms f32 /
+    2.5 ms bf16 (scripts/profile_exact_gather.py sweep; best C: 5 for
+    f32, 10 for bf16 — larger chunks re-approach the materialized cost,
+    C=50 measures 4.9 ms). The contraction runs at HIGHEST precision for
+    f32 (free here — the phase is gather-bound; DEFAULT would truncate
+    f32 rows to bf16 per pass, the repo's documented TPU hazard class)
+    and DEFAULT for bf16 (exact), always accumulating in f32 across
+    chunks with ONE terminal rounding.
+
+    Args:
+      item_emb: (I, d) table (any float dtype).
+      his_ids: (B, H) int32 history ids (any values; masking is
+        positional, so H not divisible by C is padded with id 0 — the
+        pad positions are >= H >= mask and carry zero mask weight).
+      mask: (B,) int — valid history length per user.
+      compute_dtype: dtype the contraction (and result) runs in;
+        defaults to item_emb.dtype.
+
+    Returns:
+      (B, d) means in compute_dtype (empty histories pool to zero).
+    """
+    compute = jnp.dtype(
+        item_emb.dtype if compute_dtype is None else compute_dtype
+    )
+    b, h = his_ids.shape
+    d = item_emb.shape[1]
+    c = 5 if compute == jnp.float32 else 10
+    c = min(c, h)
+    hp = -(-h // c) * c
+    if hp != h:
+        his_ids = jnp.concatenate(
+            [his_ids, jnp.zeros((b, hp - h), his_ids.dtype)], axis=1
+        )
+
+    def body(i, acc):
+        sl = jax.lax.dynamic_slice(his_ids, (0, i * c), (b, c))
+        valid = (
+            i * c + jnp.arange(c, dtype=mask.dtype)[None, :]
+            < mask[:, None]
+        ).astype(compute)
+        return acc + jnp.einsum(
+            "bcd,bc->bd",
+            item_emb[sl].astype(compute),
+            valid,
+            precision=_prec(compute),
+            preferred_element_type=jnp.float32,
+        )
+
+    total = jax.lax.fori_loop(
+        0, hp // c, body, jnp.zeros((b, d), jnp.float32)
+    )
+    denom = jnp.maximum(mask.astype(jnp.float32), 1.0)
+    return (total / denom[:, None]).astype(compute)
+
+
 def pool_history(
     his_embs: jnp.ndarray,
     mask: jnp.ndarray,
@@ -202,9 +270,14 @@ def user_pools_impl(
             urows = jax.lax.dynamic_slice(
                 user_emb, (start, 0), (chunk, user_emb.shape[1])
             )
-        pooled = pool_history(
-            item_emb[ids], mask, u=urows, attn_q=attn_q, kind=aggregator
-        )
+        if aggregator == "mean":
+            # Fused chunked gather+contraction — avoids materializing
+            # the (chunk, H, d) history gather (see history_mean_fused).
+            pooled = history_mean_fused(item_emb, ids, mask)
+        else:
+            pooled = pool_history(
+                item_emb[ids], mask, u=urows, attn_q=attn_q, kind=aggregator
+            )
         return jax.lax.dynamic_update_slice(out, pooled, (start, 0))
 
     out = jnp.zeros((u, d), item_emb.dtype)

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from heat_tpu.config import CFConfig
 from heat_tpu.models.aggregator import (
     aggregate_history,
-    history_mean,
+    history_mean_fused,
     pool_history,
 )
 from heat_tpu.models.state import TrainState
@@ -170,11 +170,15 @@ def train_step(
                 ]
             else:
                 his_ids = his_items[uniq_users]          # (Bu, H)
-            his_embs_u = jax.lax.stop_gradient(
-                item_emb[his_ids]
-            ).astype(compute)
+            # Chunked fused gather+contraction — never materializes the
+            # (Bu, H, d) history gather (see history_mean_fused; 2.2x on
+            # this phase at exact-mode geometry).
+            means_u = jax.lax.stop_gradient(
+                history_mean_fused(
+                    item_emb, his_ids, his_masks[uniq_users], compute
+                )
+            )
         with jax.named_scope("aggr_f"):
-            means_u = history_mean(his_embs_u, his_masks[uniq_users])
             pooled_const = means_u[uniq_inverse]         # (B, d)
     else:
         with jax.named_scope("read_his"):
@@ -189,13 +193,21 @@ def train_step(
                 ]
             else:
                 his_ids = his_items[users]               # (B, H)
-            his_embs = jax.lax.stop_gradient(
-                item_emb[his_ids]
-            ).astype(compute)
-            his_mask_b = his_masks[users]
-        if cfg.aggregator == "mean":
-            with jax.named_scope("aggr_f"):
-                pooled_const = history_mean(his_embs, his_mask_b)  # (B, d)
+            if cfg.aggregator == "mean":
+                # Chunked fused gather+contraction — never materializes
+                # the (B, H, d) history gather (see history_mean_fused;
+                # 6.3 -> 2.9 ms f32 at exact-mode geometry on v5e).
+                with jax.named_scope("aggr_f"):
+                    pooled_const = jax.lax.stop_gradient(
+                        history_mean_fused(
+                            item_emb, his_ids, his_masks[users], compute
+                        )
+                    )
+            else:
+                his_embs = jax.lax.stop_gradient(
+                    item_emb[his_ids]
+                ).astype(compute)
+                his_mask_b = his_masks[users]
 
     def batch_loss(u_rows, p_rows, n_rows, w0, attn_q=None):
         if pooled_const is not None:

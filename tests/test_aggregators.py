@@ -14,7 +14,11 @@ import jax.numpy as jnp
 
 from heat_tpu.config import CFConfig, config_from_dicts
 from heat_tpu.data.synthetic import synthetic_click_dataset
-from heat_tpu.models.aggregator import history_mean, pool_history
+from heat_tpu.models.aggregator import (
+    history_mean,
+    history_mean_fused,
+    pool_history,
+)
 from heat_tpu.models.state import init_train_state
 from heat_tpu.train.engine import Engine, compute_user_pools
 
@@ -50,6 +54,30 @@ def test_pool_mean_matches_history_mean(pool_inputs):
     got = pool_history(jnp.asarray(his), jnp.asarray(mask), kind="mean")
     want = history_mean(jnp.asarray(his), jnp.asarray(mask))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("h", [3, 5, 7, 100])
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_history_mean_fused_matches_gathered(h, dtype):
+    """The chunked gather-fused mean must equal gather + history_mean on
+    arbitrary ids/masks (incl. H not divisible by the chunk, empty
+    histories, and bf16 tables)."""
+    rng = np.random.default_rng(7)
+    i_n, d, b = 500, 16, 64
+    table = jnp.asarray(
+        rng.normal(scale=0.1, size=(i_n, d)).astype(np.float32)
+    ).astype(dtype)
+    ids = jnp.asarray(rng.integers(0, i_n, (b, h)).astype(np.int32))
+    mask = jnp.asarray(rng.integers(0, h + 1, (b,)).astype(np.int32))
+    got = np.asarray(
+        jax.jit(history_mean_fused)(table, ids, mask), np.float32
+    )
+    want = np.asarray(
+        history_mean(table[ids], mask), np.float32
+    )
+    tol = 1e-6 if dtype == "float32" else 8e-3
+    np.testing.assert_allclose(got, want, rtol=tol, atol=tol * 0.1)
+    assert np.all(got[np.asarray(mask) == 0] == 0.0)
 
 
 def test_self_attention_pool_oracle(pool_inputs):
