@@ -170,9 +170,11 @@ def train_step(
                 ]
             else:
                 his_ids = his_items[uniq_users]          # (Bu, H)
-            # Chunked fused gather+contraction — never materializes the
-            # (Bu, H, d) history gather (see history_mean_fused; 2.2x on
-            # this phase at exact-mode geometry).
+            # Chunked fused gather+contraction (see history_mean_fused).
+            # Same formulation as the non-dedup branch — the per-user
+            # chunk reduction order is identical regardless of batch
+            # width, so dedup-on vs dedup-off stays BIT-identical (the
+            # equivalence test pins it at rtol 1e-6).
             means_u = jax.lax.stop_gradient(
                 history_mean_fused(
                     item_emb, his_ids, his_masks[uniq_users], compute
