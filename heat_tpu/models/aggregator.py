@@ -109,7 +109,25 @@ def history_mean_fused(
     b, h = his_ids.shape
     d = item_emb.shape[1]
     c = 5 if compute == jnp.float32 else 10
-    c = min(c, h)
+    if h <= c:
+        # Single chunk: the loop+dynamic_slice wrapper is pure overhead
+        # restructuring (the temp it would avoid is already small), and
+        # inside large epoch programs it is actively harmful — at the
+        # 16M-user bench_large geometry (H=10, bf16) wrapping this one
+        # contraction in a fori_loop regressed the epoch 36 -> 260 s.
+        # Emit the one masked contraction directly (identical math).
+        valid = (
+            jnp.arange(h, dtype=mask.dtype)[None, :] < mask[:, None]
+        ).astype(compute)
+        total = jnp.einsum(
+            "bhd,bh->bd",
+            item_emb[his_ids].astype(compute),
+            valid,
+            precision=_prec(compute),
+            preferred_element_type=jnp.float32,
+        )
+        denom = jnp.maximum(mask.astype(jnp.float32), 1.0)
+        return (total / denom[:, None]).astype(compute)
     hp = -(-h // c) * c
     if hp != h:
         his_ids = jnp.concatenate(
