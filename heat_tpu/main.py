@@ -90,6 +90,16 @@ def main(argv=None) -> None:
         "written once per chunk.",
     )
     parser.add_argument(
+        "--eval-approx",
+        type=float,
+        default=None,
+        metavar="RECALL",
+        help="rank periodic (mid-training) evaluations with the TPU-native "
+        "approx_max_k partial reduce at this recall target instead of the "
+        "exact two-phase top-k (0.95 measures ~1.5x faster with ~5%% "
+        "expected misses; BENCH_r02). The final evaluation stays exact.",
+    )
+    parser.add_argument(
         "--set",
         dest="overrides",
         action="append",
@@ -216,7 +226,12 @@ def main(argv=None) -> None:
             ckpt.save(engine)
         epoch = engine.epoch - 1  # last completed epoch
         if epoch > 0 and epoch % cfg.eval_interval == 0:
-            metrics = engine.evaluate()
+            if args.eval_approx is not None:
+                metrics = engine.evaluate(
+                    exact=False, recall_target=args.eval_approx
+                )
+            else:
+                metrics = engine.evaluate()
             print(
                 "[Metrics] "
                 + " - ".join(f"{k}: {v:.6f}" for k, v in metrics.items())
