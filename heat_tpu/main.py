@@ -110,6 +110,14 @@ def main(argv=None) -> None:
     )
     args = parser.parse_args(argv)
 
+    if args.eval_approx is not None and not (0.0 < args.eval_approx <= 1.0):
+        # Fail fast: out-of-range recall targets only surface deep inside
+        # jax.lax.approx_max_k with an opaque error at the first periodic
+        # eval, potentially minutes into training.
+        parser.error(
+            f"--eval-approx must be in (0, 1], got {args.eval_approx}"
+        )
+
     overrides = {}
     for item in args.overrides:
         key, sep, value = item.partition("=")

@@ -173,8 +173,9 @@ def train_step(
             # Chunked fused gather+contraction (see history_mean_fused).
             # Same formulation as the non-dedup branch — the per-user
             # chunk reduction order is identical regardless of batch
-            # width, so dedup-on vs dedup-off stays BIT-identical (the
-            # equivalence test pins it at rtol 1e-6).
+            # width, so dedup-on vs dedup-off is numerically identical
+            # by reduction order (the equivalence test checks it at
+            # rtol 1e-6; XLA fusion choices may still differ per shape).
             means_u = jax.lax.stop_gradient(
                 history_mean_fused(
                     item_emb, his_ids, his_masks[uniq_users], compute

@@ -27,11 +27,16 @@ STEPS = 400
 
 
 def timed(name, fn, *args):
-    out = jax.jit(fn)(*args)
+    # ONE jitted callable for both warm-up and the timed run — a fresh
+    # jax.jit wrapper for the timed call would retrace (and on an
+    # executable-cache miss recompile) the 400-step scan inside the
+    # measured window.
+    jfn = jax.jit(fn)
+    out = jfn(*args)
     jax.block_until_ready(out)
     _ = float(jnp.sum(out[0]) if isinstance(out, tuple) else jnp.sum(out))
     t0 = time.perf_counter()
-    out = jax.jit(fn)(*args)
+    out = jfn(*args)
     _ = float(jnp.sum(out[0]) if isinstance(out, tuple) else jnp.sum(out))
     dt = (time.perf_counter() - t0) / STEPS
     print(f"{name:34s} {dt * 1e3:8.3f} ms/step")
