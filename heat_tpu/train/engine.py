@@ -383,27 +383,7 @@ class Engine:
                 pos = jax.device_put(pos, self._batch_sharding)
                 weight = jax.device_put(weight, self._batch_sharding)
             return users, pos, weight
-        # Multi-host: each process shuffles its local pairs and contributes
-        # batch_size/P rows per step; processes must agree on the number of
-        # batches (the reference's ranks implicitly agree by partition
-        # construction; here the max over hosts is used, short hosts pad).
-        from jax.experimental import multihost_utils
-
-        nproc = jax.process_count()
-        local_batch = max(1, (-(-cfg.batch_size // d_ax) * d_ax) // nproc)
-        local_nb = -(-max(1, n) // local_batch)
-        all_nb = multihost_utils.process_allgather(np.asarray([local_nb]))
-        num_batches = int(np.max(all_nb))
-        if n > 0:
-            users, pos, weight = self._shuffle_or_pack(
-                pairs, num_batches, local_batch
-            )
-        else:  # empty shard: all-padding contribution
-            if cfg.shuffle_mode != "none":  # match the draw count above
-                self._next_key()
-            users = jnp.zeros((num_batches, local_batch), jnp.int32)
-            pos = jnp.zeros((num_batches, local_batch), jnp.int32)
-            weight = jnp.zeros((num_batches, local_batch), jnp.float32)
+        users, pos, weight = self._local_batches(pairs)
         out = []
         for arr in (users, pos, weight):
             out.append(
@@ -412,6 +392,37 @@ class Engine:
                 )
             )
         return tuple(out)
+
+    def _local_batches(self, pairs: jnp.ndarray):
+        """Multi-host: this process's shuffled+packed batch contribution.
+
+        Each process shuffles its local pairs and contributes
+        batch_size/P rows per step; processes must agree on the number of
+        batches (the reference's ranks implicitly agree by partition
+        construction; here the max over hosts is used, short hosts pad).
+        Draws exactly the keys ``_shuffle_or_pack`` would (empty shards
+        draw and discard one, keeping host key streams aligned).
+        """
+        from jax.experimental import multihost_utils
+
+        cfg = self.cfg
+        n = int(pairs.shape[0])
+        d_ax = self._data_axis_size
+        nproc = jax.process_count()
+        local_batch = max(1, (-(-cfg.batch_size // d_ax) * d_ax) // nproc)
+        local_nb = -(-max(1, n) // local_batch)
+        all_nb = multihost_utils.process_allgather(np.asarray([local_nb]))
+        num_batches = int(np.max(all_nb))
+        if n > 0:
+            return self._shuffle_or_pack(pairs, num_batches, local_batch)
+        # Empty shard: all-padding contribution.
+        if cfg.shuffle_mode != "none":  # match the draw count above
+            self._next_key()
+        return (
+            jnp.zeros((num_batches, local_batch), jnp.int32),
+            jnp.zeros((num_batches, local_batch), jnp.int32),
+            jnp.zeros((num_batches, local_batch), jnp.float32),
+        )
 
     def _history_dedup(self, pairs, users) -> Optional[tuple]:
         """Host-precomputed per-batch (uniq_users, inverse) maps for the
@@ -545,19 +556,24 @@ class Engine:
         shuffle) is paid once per call instead of once per epoch — at a
         0.3 s epoch that is ~10-25% of wall time. The key draws and the
         math match ``n`` sequential ``train_one_epoch`` calls exactly
-        (tested in tests/test_engine.py). Other configurations fall back
-        to the per-epoch loop.
+        (tested in tests/test_engine.py).
+
+        Multi-host runs get the same one-dispatch-per-E-epochs shape
+        (VERDICT r2 item 1): fixed streams ("none"/"once") pack once and
+        reuse (``_train_epochs_fixed``); "epoch" mode packs each host's
+        per-epoch shuffles up front and scans the stacked stream
+        (``_train_epochs_stream``). Only sub-epoch partitioning falls back
+        to the per-epoch loop (its pair bucketing is per-epoch host work).
         """
         cfg = self.cfg
-        if (
-            n <= 1
-            or self._multiprocess
-            or cfg.num_subepochs > 1
-            or int(self.pairs.shape[0]) == 0
+        if n <= 1 or cfg.num_subepochs > 1 or (
+            not self._multiprocess and int(self.pairs.shape[0]) == 0
         ):
             return [self.train_one_epoch() for _ in range(n)]
         if cfg.shuffle_mode != "epoch":
             return self._train_epochs_fixed(n)
+        if self._multiprocess:
+            return self._train_epochs_stream(n)
         if self._multi_epoch_fn is None:
             self._multi_epoch_fn = make_multi_epoch_fn(cfg, self.mesh)
         lrs = jnp.asarray(
@@ -612,18 +628,27 @@ class Engine:
         cfg = self.cfg
         with self.timer.phase("data"):
             pairs = self.pairs
-            nloc = int(pairs.shape[0])
-            batch = min(cfg.batch_size, max(1, nloc))
-            batch = -(-batch // self._data_axis_size) * self._data_axis_size
-            num_batches = -(-nloc // batch)
-            users, pos, weight = self._shuffle_or_pack(
-                pairs, num_batches, batch
-            )
-            dedup = self._history_dedup(pairs, users)
-            if self._batch_sharding is not None:
-                users = jax.device_put(users, self._batch_sharding)
-                pos = jax.device_put(pos, self._batch_sharding)
-                weight = jax.device_put(weight, self._batch_sharding)
+            if self._multiprocess:
+                # Global (nb, B) arrays assembled from per-host packs with
+                # batch-count agreement (the per-epoch path's assembly,
+                # reused once — the stream is fixed across epochs).
+                users, pos, weight = self._make_batches(pairs)
+                dedup = None  # _history_dedup is single-process only
+            else:
+                nloc = int(pairs.shape[0])
+                batch = min(cfg.batch_size, max(1, nloc))
+                batch = (
+                    -(-batch // self._data_axis_size) * self._data_axis_size
+                )
+                num_batches = -(-nloc // batch)
+                users, pos, weight = self._shuffle_or_pack(
+                    pairs, num_batches, batch
+                )
+                dedup = self._history_dedup(pairs, users)
+                if self._batch_sharding is not None:
+                    users = jax.device_put(users, self._batch_sharding)
+                    pos = jax.device_put(pos, self._batch_sharding)
+                    weight = jax.device_put(weight, self._batch_sharding)
         if getattr(self, "_multi_epoch_fixed_fn", None) is None:
             self._multi_epoch_fixed_fn = make_multi_epoch_fixed_fn(
                 cfg, self.mesh
@@ -646,10 +671,12 @@ class Engine:
             epoch_keys.append(self._next_key())
         epoch_keys = jnp.stack(epoch_keys)
         if self._replicated is not None:
-            epoch_keys, lrs = (
-                jax.device_put(x, self._replicated)
-                for x in (epoch_keys, lrs)
-            )
+            # Multi-process: keys stay uncommitted (jit replicates them;
+            # device_put of key arrays to a non-addressable replicated
+            # sharding is rejected by jax).
+            if not self._multiprocess:
+                epoch_keys = jax.device_put(epoch_keys, self._replicated)
+            lrs = jax.device_put(lrs, self._replicated)
         with self.timer.phase("f_b"):
             self.state, self.sampler_state, loss_sums = (
                 self._multi_epoch_fixed_fn(
@@ -664,6 +691,75 @@ class Engine:
                     self.his_masks,
                     dedup[0] if dedup else None,
                     dedup[1] if dedup else None,
+                )
+            )
+            loss_sums = np.asarray(loss_sums)
+        self.epoch += n
+        return [float(s) / max(1, cfg.train_size) for s in loss_sums]
+
+    def _train_epochs_stream(self, n: int) -> list[float]:
+        """Fused multi-epoch path for MULTIPROCESS per-epoch-shuffled
+        streams (shuffle_mode "epoch"): each host shuffles+packs its local
+        pairs for all n epochs up front — the same key draws, batch-count
+        agreement, and local-batch geometry as n sequential
+        train_one_epoch calls — then the stacked (E, nb, B) global batch
+        arrays are assembled once and n epochs run as ONE device program
+        (train_step.make_multi_epoch_stream_fn)."""
+        from heat_tpu.train.train_step import make_multi_epoch_stream_fn
+
+        cfg = self.cfg
+        with self.timer.phase("data"):
+            epoch_users, epoch_pos, epoch_weight, epoch_keys = [], [], [], []
+            for _ in range(n):
+                # Sequential order: one shuffle key (inside
+                # _local_batches), then one epoch key.
+                u, p, w = self._local_batches(self.pairs)
+                epoch_users.append(np.asarray(u))
+                epoch_pos.append(np.asarray(p))
+                epoch_weight.append(np.asarray(w))
+                epoch_keys.append(self._next_key())
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from heat_tpu.parallel.mesh import DATA_AXIS
+
+            stream_sh = NamedSharding(self.mesh, P(None, None, DATA_AXIS))
+            users, pos, weight = (
+                jax.make_array_from_process_local_data(
+                    stream_sh, np.stack(a)
+                )
+                for a in (epoch_users, epoch_pos, epoch_weight)
+            )
+        if getattr(self, "_multi_epoch_stream_fn", None) is None:
+            self._multi_epoch_stream_fn = make_multi_epoch_stream_fn(
+                cfg, self.mesh
+            )
+        lrs = jnp.asarray(
+            [
+                scheduled_lr(
+                    cfg.l_r, self.epoch + i, cfg.milestones, cfg.lr_gamma
+                )
+                for i in range(n)
+            ],
+            jnp.float32,
+        )
+        epoch_keys = jnp.stack(epoch_keys)
+        # Keys stay uncommitted (device_put of key arrays to a replicated
+        # multi-process sharding is rejected by jax; jit replicates
+        # uncommitted host-local args — every host computed the same keys
+        # from the same seed, matching the _run_pairs convention).
+        lrs = jax.device_put(lrs, self._replicated)
+        with self.timer.phase("f_b"):
+            self.state, self.sampler_state, loss_sums = (
+                self._multi_epoch_stream_fn(
+                    self.state,
+                    self.sampler_state,
+                    epoch_keys,
+                    lrs,
+                    users,
+                    pos,
+                    weight,
+                    self.his_items,
+                    self.his_masks,
                 )
             )
             loss_sums = np.asarray(loss_sums)

