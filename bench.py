@@ -193,10 +193,39 @@ def time_epochs(
     return float(np.median(times)), times
 
 
-def time_eval(dataset: ClickDataset) -> float:
+def run_tpu_tier():
+    """Run the on-chip hazard-regression tier (tests_tpu/) IN-PROCESS on
+    the chip this benchmark already holds (a subprocess would deadlock on
+    the exclusive device grant) and return (passed, failed) counts, so
+    BENCH_r*.json carries proof the TPU tier ran (VERDICT r2 item 6)."""
+    import pytest
+
+    class _Counter:
+        def __init__(self):
+            self.passed = 0
+            self.failed = 0
+
+        def pytest_runtest_logreport(self, report):
+            if report.when == "call":
+                if report.passed:
+                    self.passed += 1
+                elif report.failed:
+                    self.failed += 1
+
+    c = _Counter()
+    pytest.main(
+        ["tests_tpu", "-q", "-p", "no:cacheprovider", "--no-header"],
+        plugins=[c],
+    )
+    return c.passed, c.failed
+
+
+def time_eval(dataset: ClickDataset, truth_ids=None, exact_only=False):
     """Full AmazonBooks-scale ranking eval, end to end: tiled sim GEMM +
     exact top-50 + all-metric evaluation on device (mask and truth tensors
-    are uploaded once; only the metric scalars reach the host)."""
+    are uploaded once; only the metric scalars reach the host).
+    truth_ids: optional (U, 10) truth lists (e.g. Zipf-skewed) replacing
+    the uniform default."""
     import jax
 
     from heat_tpu.evaluation.evaluator import TiledEvaluator
@@ -209,9 +238,9 @@ def time_eval(dataset: ClickDataset) -> float:
     user_emb = jax.random.normal(k1, (NUM_USERS, EMB_DIM))
     item_emb = jax.random.normal(k2, (NUM_ITEMS, EMB_DIM))
     rng = np.random.default_rng(1)
-    truth, lengths = pad_truth(
-        [rng.integers(0, NUM_ITEMS, 10) for _ in range(NUM_USERS)]
-    )
+    if truth_ids is None:
+        truth_ids = [rng.integers(0, NUM_ITEMS, 10) for _ in range(NUM_USERS)]
+    truth, lengths = pad_truth(truth_ids)
     truth, lengths = jax.numpy.asarray(truth), jax.numpy.asarray(lengths)
     metrics = ["Recall(k=20)", "Recall(k=50)", "NDCG(k=20)", "NDCG(k=50)"]
     ev = TiledEvaluator(dataset.pairs, NUM_USERS)
@@ -223,8 +252,13 @@ def time_eval(dataset: ClickDataset) -> float:
         )
         return evaluate_metrics_device(metrics, ids, truth, lengths)
 
+    combos = (
+        ((True, 0.99),)
+        if exact_only
+        else ((True, 0.99), (False, 0.99), (False, 0.95))
+    )
     out = []
-    for exact, rt in ((True, 0.99), (False, 0.99), (False, 0.95)):
+    for exact, rt in combos:
         run(exact, rt)  # compile + mask/truth upload
         t0 = time.perf_counter()
         run(exact, rt)
@@ -284,6 +318,16 @@ def main() -> None:
         refresh_interval=16384, compute_dtype="bfloat16",
         param_dtype="bfloat16", update_mode="direct",
     )
+    # Batch 32768 at lr 0.08 (linear scaling from the 8192 headline's
+    # 0.02-at-16k precedent): parity-checked at full scale via
+    # scripts/accuracy_parity.py --batch 32768 --lr 0.04 (see README
+    # parity table). Reported as the throughput frontier row.
+    BATCH = 32768
+    fast32k_s, _ = time_epochs(
+        "subepoch", dataset, reps=2, neg_sampler=1, tile_size=512,
+        refresh_interval=32768, compute_dtype="bfloat16",
+        param_dtype="bfloat16", update_mode="direct",
+    )
     BATCH = 8192
     # Compute-heavy variant (BASELINE.json config 4): d=256, 64 negatives —
     # scoring-bound rather than update-bound. Same dataset geometry; the
@@ -318,13 +362,41 @@ def main() -> None:
     )
     # Zipf-skewed headline (VERDICT r1 weak-point 4): hot-item scatter
     # collisions + short histories, same config as the headline.
+    zipf_ds = make_dataset_zipf(np.random.default_rng(7))
     zipf_s, _ = time_epochs(
-        "subepoch", make_dataset_zipf(np.random.default_rng(7)), reps=2,
+        "subepoch", zipf_ds, reps=2,
         neg_sampler=1, tile_size=512, refresh_interval=8192,
         compute_dtype="bfloat16", param_dtype="bfloat16",
         update_mode="direct",
     )
+    # Exact mode under skew (VERDICT r2 item 7): the history-gather dedup
+    # win DEPENDS on duplication structure — user-grouped parse order on
+    # the Zipf dataset (hot users contribute long runs; short geometric
+    # histories shrink the per-user gather) must keep its speedup.
+    zorder = np.argsort(np.asarray(zipf_ds.pairs)[:, 0], kind="stable")
+    zipf_grouped = ClickDataset(
+        pairs=np.asarray(zipf_ds.pairs)[zorder],
+        his_items=zipf_ds.his_items,
+        masks=zipf_ds.masks,
+        num_users=NUM_USERS,
+        num_items=NUM_ITEMS,
+        max_his=MAX_HIS,
+        user_items=[],
+    )
+    zipf_exact_s, _ = time_epochs(
+        "step", zipf_grouped, reps=2, fused=3, shuffle_mode="none"
+    )
     eval_s, eval_approx_s, eval_approx95_s = time_eval(dataset)
+    # Eval under skew: Zipf-skewed train-pair mask (hot items concentrate
+    # mask bits) and Zipf-skewed truth lists, same exact top-50 path.
+    zrng = np.random.default_rng(11)
+    item_p = 1.0 / np.arange(1, NUM_ITEMS + 1, dtype=np.float64) ** 1.05
+    item_p /= item_p.sum()
+    zipf_truth = [
+        zrng.choice(NUM_ITEMS, 10, p=item_p) for _ in range(NUM_USERS)
+    ]
+    (eval_skew_s,) = time_eval(zipf_ds, truth_ids=zipf_truth,
+                               exact_only=True)
     head_gb = modeled_epoch_bytes("headline") / 1e9
     exact_gb = modeled_epoch_bytes("exact") / 1e9
     result = {
@@ -346,12 +418,17 @@ def main() -> None:
         ),
         "throughput16k_s": round(fast16k_s, 4),
         "throughput16k_vs_baseline": round(BASELINE_EPOCH_S / fast16k_s, 2),
+        "throughput32k_s": round(fast32k_s, 4),
+        "throughput32k_vs_baseline": round(BASELINE_EPOCH_S / fast32k_s, 2),
         "heavy_d256_negs64_s": round(heavy_s, 4),
         "zipf_s": round(zipf_s, 4),
         "zipf_vs_baseline": round(BASELINE_EPOCH_S / zipf_s, 2),
+        "zipf_exact_s": round(zipf_exact_s, 4),
+        "zipf_exact_vs_baseline": round(BASELINE_EPOCH_S / zipf_exact_s, 2),
         "eval_topk50_s": round(eval_s, 4),
         "eval_topk50_approx99_s": round(eval_approx_s, 4),
         "eval_topk50_approx95_s": round(eval_approx95_s, 4),
+        "eval_skew_s": round(eval_skew_s, 4),
         # Roofline (modeled algorithmic bytes / measured s vs v5e 819 GB/s
         # peak; see modeled_epoch_bytes docstring for what is counted).
         "hbm_gb_modeled": round(head_gb, 2),
@@ -365,6 +442,14 @@ def main() -> None:
     import jax
 
     result["device"] = str(jax.devices()[0].platform)
+    # On-chip hazard-regression tier last (timings above are undisturbed);
+    # in-process because the chip grant is exclusive.
+    if result["device"] == "tpu":
+        passed, failed = run_tpu_tier()
+        result["tpu_tests_passed"] = passed
+        result["tpu_tests_failed"] = failed
+    else:
+        result["tpu_tests_passed"] = None
     print(json.dumps(result))
 
 

@@ -115,6 +115,29 @@ def main() -> None:
 
     import jax
 
+    # Roofline fields (VERDICT r2 item 3): modeled algorithmically-
+    # necessary HBM traffic (table rows gathered/updated + the per-epoch
+    # pooled-means build; fused intermediates excluded) and the per-row
+    # issue counts that actually bound this geometry — row scatters/
+    # gathers here are latency-serialized (~100-200 ns/row at 16M-row
+    # tables, scripts/profile_large.py), so GB/s vs the 819 GB/s peak is
+    # context, not the bound.
+    tile = engine.cfg.tile_size
+    d = args.dim
+    elem = 2  # bf16
+    nb = -(-args.clicks // args.batch)
+    b = args.batch
+    pools_bytes = args.users * args.max_his * d * elem + args.users * d * elem
+    per_step_bytes = (
+        3 * b * d * elem            # user + means + pos gathers
+        + tile * d * elem           # tile row gather
+        + 2 * 2 * b * d * elem      # user rows: fused writeback+update r+w
+        + 2 * (b + tile) * d * elem  # item rows: r+w
+        + b * 4 * 3 + b * args.negs * 4
+    )
+    hbm_gb = (pools_bytes + nb * per_step_bytes) / 1e9
+    rows_scattered = nb * (b + b + tile)   # user scatter + item scatter
+    rows_gathered = nb * (3 * b + tile) + args.users * args.max_his
     result = {
         "metric": "large_scale_epoch_time",
         "value": round(epoch_s, 3),
@@ -128,6 +151,14 @@ def main() -> None:
         "sorted_dedup_path": sorted_path,
         "update_mode": args.update_mode,
         "losses": [round(l, 4) for l in losses],
+        "hbm_gb_modeled": round(hbm_gb, 2),
+        "hbm_gbps": round(hbm_gb / epoch_s, 1),
+        "hbm_peak_frac": round(hbm_gb / epoch_s / 819.0, 4),
+        "rows_scattered": rows_scattered,
+        "rows_gathered": rows_gathered,
+        "scatter_ns_per_row_budget": round(
+            epoch_s * 1e9 / max(1, rows_scattered), 1
+        ),
         "device": str(jax.devices()[0].platform),
     }
     print(json.dumps(result))
