@@ -10,14 +10,22 @@ one 16 GB v5e chip, so the path is exercised on real hardware, not just
 traced:
 
     16M users x 6M items, d=64, bf16 tables, 40M interactions,
-    tile negative sampler + per-epoch cached history means.
+    tile negative sampler + per-epoch cached history means,
+    emb_pad=128 physical row width (see below).
 
-HBM budget: TPU tiling pads a (N, 64) bf16 array's minor dim to 128 lanes,
-so every table row costs 256 B at rest regardless of bf16 — user 3.8 GB +
-pooled means 3.8 GB + item 1.4 GB + flat history 0.64 GB + pairs 0.32 GB +
-packed batches 0.5 GB ~= 10.5 GB steady state, leaving ~4 GB for the
-(B, T) tile-score transients and scan temporaries. (20M x 8M compiles but
-crashes the worker at runtime — 14.7 GB steady state leaves no margin.)
+Physical row width (CFConfig.emb_pad): half-lane (N, 64) bf16 rows
+latency-serialize — row scatters cost ~180 ns/row and every d-wide pass
+pays the fractional-sublane layout. Padding the tables to (N, 128) with
+zero tails (identical math, tested) measured **36.4 -> 11.8 s/epoch
+(3.08x, 3.39M interactions/s)** on this geometry, at the price of real
+HBM bytes (bf16 is stored compactly at rest: 128 B/row at width 64,
+256 B at width 128 — the at-rest lane-padding assumption in earlier
+rounds was wrong for bf16).
+
+HBM budget at width 128: user 4.1 GB + pooled means 4.1 GB + item
+1.5 GB + flat history 0.64 GB + pairs 0.32 GB + packed batches 0.5 GB
+~= 11.2 GB steady state. The f32 init intermediates must cast to bf16
+BEFORE the pad concat (models/state.py) or init alone OOMs.
 
 Prints exactly one JSON line.
 """
@@ -76,6 +84,13 @@ def main() -> None:
         help="dedup = sort/segment-sum per-row combine (clip(combined)); "
         "direct = one per-occurrence scatter-add per table",
     )
+    p.add_argument(
+        "--emb-pad", type=int, default=128,
+        help="physical minor width of the tables (CFConfig.emb_pad): "
+        "free at rest under lane tiling and 2.2x faster to row-scatter "
+        "at 16M-row tables than half-lane (N, 64) rows "
+        "(scripts/profile_lane_width.py); 0 disables",
+    )
     args = p.parse_args()
 
     dataset = make_dataset(
@@ -97,6 +112,7 @@ def main() -> None:
         compute_dtype="bfloat16",
         param_dtype="bfloat16",
         update_mode=args.update_mode,
+        emb_pad=args.emb_pad if args.emb_pad > args.dim else 0,
     )
     engine = Engine(cfg, dataset)
     sorted_path = args.update_mode == "dedup" and (

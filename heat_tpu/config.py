@@ -143,6 +143,20 @@ class CFConfig:
     param_dtype: str = "float32"   # embedding-table dtype
     compute_dtype: str = "float32"  # scoring-matmul dtype
 
+    # --- physical layout --------------------------------------------------
+    # Physical minor width of every d-wide state array (0 = emb_dim). TPU
+    # lane tiling pads the minor dim to 128 at rest anyway, so for bf16
+    # d<=64 tables emb_pad=128 costs ZERO extra HBM — and at huge tables
+    # (16M rows) full-sublane rows make XLA row scatters 2.2x faster and
+    # gathers 1.25x faster than half-lane (N, 64) rows (measured,
+    # scripts/profile_lane_width.py; at 91.6k-row tables it is a ~1.4x
+    # scatter LOSS, so this is a huge-table knob, not a default). The pad
+    # columns are provably zero through every update: all row reads carry
+    # zero tails, so every gradient, moment, and l2 term has a zero tail,
+    # and w0's pad rows/cols stay zero under its outer-product gradient.
+    # Math is therefore IDENTICAL to the unpadded model.
+    emb_pad: int = 0
+
     def __post_init__(self) -> None:
         if self.similarity not in ("cosine", "dot"):
             raise ValueError(f"unknown similarity {self.similarity!r}")
@@ -190,6 +204,18 @@ class CFConfig:
                 "only defined for optimizer='sgd' with sgd_mode='batch' "
                 "(accum mode and moment-based optimizers must combine "
                 "duplicate rows first)"
+            )
+        if self.emb_pad and self.emb_pad < self.emb_dim:
+            raise ValueError(
+                f"emb_pad ({self.emb_pad}) must be >= emb_dim "
+                f"({self.emb_dim}) (or 0 to disable)"
+            )
+        if self.emb_pad and self.aggregator != "mean":
+            # The attention variants scale logits by the PHYSICAL row
+            # width (his_embs.shape[-1] ** -0.5), which would silently
+            # change the softmax temperature under padding.
+            raise ValueError(
+                "emb_pad currently requires aggregator='mean'"
             )
         self.milestones = list(self.milestones)
         self.metrics = list(self.metrics)

@@ -42,6 +42,13 @@ def export_embeddings(state, path: str, cfg=None) -> dict:
         "item_emb": host(state.item_emb),
         "w0": host(state.w0),
     }
+    if cfg is not None and cfg.emb_pad and cfg.emb_pad > cfg.emb_dim:
+        # Physical lane padding (CFConfig.emb_pad) is a device-layout
+        # detail; the interchange format carries the logical model.
+        d = cfg.emb_dim
+        out["user_emb"] = out["user_emb"][:, :d]
+        out["item_emb"] = out["item_emb"][:, :d]
+        out["w0"] = out["w0"][:d, :d]
     if state.attn_q is not None:
         out["attn_q"] = host(state.attn_q)
     if cfg is not None:

@@ -60,21 +60,48 @@ class TrainState(struct.PyTreeNode):
 
 
 def init_train_state(cfg: CFConfig, key: jax.Array) -> TrainState:
-    """Initialize embeddings and aggregator weights (parity with reference)."""
+    """Initialize embeddings and aggregator weights (parity with reference).
+
+    cfg.emb_pad > emb_dim allocates every d-wide array at the padded
+    physical width with ZERO tail columns (and zero pad rows/cols for w0)
+    — free at rest under TPU lane tiling and much faster to row-scatter
+    at huge tables (see CFConfig.emb_pad). The zero tails are invariant
+    under training (zero reads -> zero grads/moments -> zero writes), so
+    the padded model computes bit-identical math to the unpadded one.
+    """
     ku, ki, kw, kq = jax.random.split(key, 4)
     dtype = jnp.dtype(cfg.param_dtype)
-    user_emb = (
-        jax.random.normal(ku, (cfg.num_users, cfg.emb_dim), jnp.float32)
-        * INIT_STD
-    ).astype(dtype)
-    item_emb = (
-        jax.random.normal(ki, (cfg.num_items, cfg.emb_dim), jnp.float32)
-        * INIT_STD
-    ).astype(dtype)
+    d = cfg.emb_dim
+    width = cfg.emb_pad if cfg.emb_pad else d
+
+    def pad_cols(x):
+        # Cast BEFORE padding: an f32 width-128 concat at 16M rows
+        # materializes three multi-GB temps eagerly (measured OOM); the
+        # param-dtype concat peaks at half that and the real block is
+        # identical either way.
+        if width == d:
+            return x
+        return jnp.concatenate(
+            [x, jnp.zeros((x.shape[0], width - d), x.dtype)], axis=1
+        )
+
+    user_emb = pad_cols(
+        (
+            jax.random.normal(ku, (cfg.num_users, d), jnp.float32)
+            * INIT_STD
+        ).astype(dtype)
+    )
+    item_emb = pad_cols(
+        (
+            jax.random.normal(ki, (cfg.num_items, d), jnp.float32)
+            * INIT_STD
+        ).astype(dtype)
+    )
     w0 = (
-        jax.random.normal(kw, (cfg.emb_dim, cfg.emb_dim), jnp.float32)
-        * INIT_STD
+        jax.random.normal(kw, (d, d), jnp.float32) * INIT_STD
     ).astype(jnp.float32)
+    if width != d:
+        w0 = jnp.zeros((width, width), jnp.float32).at[:d, :d].set(w0)
     attn_q = None
     if cfg.aggregator == "self_attention":
         attn_q = (

@@ -500,3 +500,59 @@ def test_train_epochs_fixed_stream_matches_sequential(data):
             [e_seq.train_one_epoch() for _ in range(2)],
             rtol=1e-6,
         )
+
+
+def test_emb_pad_identical_math(data):
+    """Physical lane padding (CFConfig.emb_pad): the padded model must
+    compute IDENTICAL math — zero tail columns are invariant through
+    gathers, grads, updates, and w0's outer-product gradient — while the
+    tables carry the padded width. (The knob exists because full-sublane
+    bf16 rows scatter 2.2x faster at 16M-row tables;
+    scripts/profile_lane_width.py.)"""
+    train, test = data
+    # Single-step semantic pin: one batch covering the whole epoch — only
+    # f32 reduction-tree grouping can differ (the wider rows group the 16
+    # real summands differently), so the real block matches to ~1e-5.
+    e_b1 = Engine(small_cfg(batch_size=16384), train, seed=3)
+    e_p1 = Engine(small_cfg(batch_size=16384, emb_pad=128), train, seed=3)
+    l_b1 = e_b1.train_one_epoch()
+    l_p1 = e_p1.train_one_epoch()
+    np.testing.assert_allclose(l_p1, l_b1, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(e_p1.state.user_emb)[:, :16],
+        np.asarray(e_b1.state.user_emb),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(e_p1.state.item_emb)[:, :16],
+        np.asarray(e_b1.state.item_emb),
+        atol=1e-5,
+    )
+    # Multi-epoch run: per-step grouping drift amplifies chaotically
+    # (losses stay ~5e-4; table elements decorrelate), so the multi-epoch
+    # claims are the loss band and the STRICT tail invariant.
+    e_base = Engine(small_cfg(), train, test, seed=3)
+    base_losses = e_base.train_epochs(2)
+    e_pad = Engine(small_cfg(emb_pad=128), train, test, seed=3)
+    pad_losses = e_pad.train_epochs(2)
+    np.testing.assert_allclose(pad_losses, base_losses, rtol=2e-3)
+    ue = np.asarray(e_pad.state.user_emb)
+    ie = np.asarray(e_pad.state.item_emb)
+    w0 = np.asarray(e_pad.state.w0)
+    assert ue.shape[1] == 128 and w0.shape == (128, 128)
+    # The tails stayed EXACTLY zero — the invariant the knob relies on
+    # (any semantic leak between pad and real columns lands here).
+    assert not ue[:, 16:].any() and not ie[:, 16:].any()
+    assert not w0[16:, :].any() and not w0[:, 16:].any()
+    # Evaluation flows at the padded width.
+    m_pad = e_pad.evaluate()
+    m_base = e_base.evaluate()
+    for k in m_base:
+        assert abs(m_pad[k] - m_base[k]) < 0.05, (k, m_pad[k], m_base[k])
+
+
+def test_emb_pad_validation():
+    with pytest.raises(ValueError, match="emb_pad"):
+        CFConfig(emb_dim=64, emb_pad=32)
+    with pytest.raises(ValueError, match="mean"):
+        CFConfig(emb_dim=16, emb_pad=128, aggregator="user_attention")
