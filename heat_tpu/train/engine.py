@@ -414,15 +414,20 @@ class Engine:
         all_nb = multihost_utils.process_allgather(np.asarray([local_nb]))
         num_batches = int(np.max(all_nb))
         if n > 0:
-            return self._shuffle_or_pack(pairs, num_batches, local_batch)
-        # Empty shard: all-padding contribution.
-        if cfg.shuffle_mode != "none":  # match the draw count above
-            self._next_key()
-        return (
-            jnp.zeros((num_batches, local_batch), jnp.int32),
-            jnp.zeros((num_batches, local_batch), jnp.int32),
-            jnp.zeros((num_batches, local_batch), jnp.float32),
-        )
+            out = self._shuffle_or_pack(pairs, num_batches, local_batch)
+        else:
+            # Empty shard: all-padding contribution.
+            if cfg.shuffle_mode != "none":  # match the draw count above
+                self._next_key()
+            out = (
+                jnp.zeros((num_batches, local_batch), jnp.int32),
+                jnp.zeros((num_batches, local_batch), jnp.int32),
+                jnp.zeros((num_batches, local_batch), jnp.float32),
+            )
+        # Stashed for _history_dedup_mp (the global assembly loses the
+        # per-host view the dedup maps are computed from).
+        self._last_local_users = out[0]
+        return out
 
     def _history_dedup(self, pairs, users) -> Optional[tuple]:
         """Host-precomputed per-batch (uniq_users, inverse) maps for the
@@ -440,7 +445,7 @@ class Engine:
         if (
             cfg.his_refresh != "step"
             or cfg.aggregator != "mean"
-            or self._multiprocess
+            or self._multiprocess  # multi-host: _history_dedup_mp
             or cfg.shuffle_mode not in ("none", "once")
         ):
             return None
@@ -471,6 +476,78 @@ class Engine:
         self._dedup_cache = (key, out)
         return out
 
+    def _history_dedup_mp(self, users_local) -> Optional[tuple]:
+        """Multi-host history-gather dedup: per-host (uniq, inverse) maps
+        over each host's local batch slice, assembled into global
+        (nb, Bu) / (nb, B) arrays sharded like the batches.
+
+        Users are partitioned by host range (a user's clicks live on ONE
+        host), so per-host dedup is globally exact: no user can occupy
+        slots on two hosts. Local slot ids are offset by
+        ``process_index * Bu_pad`` (hosts agree on the padded slot width
+        by allgather-max), so each inverse entry indexes the GLOBAL slot
+        axis. Gating matches the single-host path (fixed streams, mean
+        aggregator, per-step history); returns None when duplication is
+        too low to pay for the extra (B,) means gather on any host.
+        """
+        cfg = self.cfg
+        if (
+            cfg.his_refresh != "step"
+            or cfg.aggregator != "mean"
+            or cfg.shuffle_mode not in ("none", "once")
+        ):
+            return None
+        from jax.experimental import multihost_utils
+
+        users_np = np.asarray(users_local)
+        nb, batch = users_np.shape
+        uniqs, invs, max_u = [], [], 1
+        for b in range(nb):
+            uu, inv = np.unique(users_np[b], return_inverse=True)
+            uniqs.append(uu)
+            invs.append(inv)
+            max_u = max(max_u, len(uu))
+        # Hosts must agree on BOTH the go/no-go decision and the padded
+        # slot width: exchange (max_u, batch) and decide globally.
+        stats = multihost_utils.process_allgather(
+            np.asarray([max_u, batch])
+        ).reshape(jax.process_count(), 2)
+        if stats[:, 0].max() > 0.7 * stats[:, 1].min():
+            return None
+        # Slot width: multiple of 8 AND of the per-host device count so
+        # the local (nb, bu) shard subdivides evenly over this host's
+        # data-axis positions.
+        per_host_dev = max(1, self._data_axis_size // jax.process_count())
+        m = max(8, per_host_dev)
+        bu = int(-(-stats[:, 0].max() // m) * m)
+        uu_arr = np.zeros((nb, bu), np.int32)
+        for b, uu in enumerate(uniqs):
+            n = len(uu)
+            uu_arr[b, :n] = uu
+            uu_arr[b, n:] = uu[0] if n else 0
+        offset = jax.process_index() * bu
+        inv_arr = np.stack(invs).astype(np.int32) + offset
+        uniq_g = jax.make_array_from_process_local_data(
+            self._batch_sharding, uu_arr
+        )
+        inv_g = jax.make_array_from_process_local_data(
+            self._batch_sharding, inv_arr
+        )
+        return uniq_g, inv_g
+
+    def _dedup_mp_cached(self, pairs) -> Optional[tuple]:
+        """Cache wrapper over _history_dedup_mp keyed on the (fixed)
+        stream identity — the maps are recomputed only when the packed
+        stream changes. Every host runs the same gating collective, so
+        cache state stays aligned."""
+        key = (id(pairs), tuple(np.shape(self._last_local_users)))
+        cache = getattr(self, "_dedup_mp_cache", None)
+        if cache is not None and cache[0] == key:
+            return cache[1]
+        out = self._history_dedup_mp(self._last_local_users)
+        self._dedup_mp_cache = (key, out)
+        return out
+
     def _run_pairs(self, pairs: jnp.ndarray, neg_candidates=None) -> float:
         """Scan one pair set (an epoch or a sub-epoch bucket)."""
         cfg = self.cfg
@@ -478,11 +555,12 @@ class Engine:
             return 0.0
         with self.timer.phase("data"):
             users, pos, weight = self._make_batches(pairs)
-            dedup = (
-                self._history_dedup(pairs, users)
-                if neg_candidates is None
-                else None
-            )
+            if neg_candidates is not None:
+                dedup = None
+            elif self._multiprocess:
+                dedup = self._dedup_mp_cached(pairs)
+            else:
+                dedup = self._history_dedup(pairs, users)
         # cfg.his_refresh == "subepoch" pooling ("aggr_f") happens inside
         # the epoch program (make_epoch_fn) so the means table materializes
         # in the scan's own layout — no cross-jit full-table copy.
@@ -633,7 +711,7 @@ class Engine:
                 # batch-count agreement (the per-epoch path's assembly,
                 # reused once — the stream is fixed across epochs).
                 users, pos, weight = self._make_batches(pairs)
-                dedup = None  # _history_dedup is single-process only
+                dedup = self._dedup_mp_cached(pairs)
             else:
                 nloc = int(pairs.shape[0])
                 batch = min(cfg.batch_size, max(1, nloc))

@@ -109,6 +109,19 @@ def worker(
             abs(a - b) <= 1e-6 * max(1.0, abs(a))
             for a, b in zip(seq_n, fused_n)
         ), (seq_n, fused_n)
+        # The multi-host history-gather dedup must have engaged on this
+        # parse-order stream AND be an exact rewrite: losses with the
+        # maps forced off match to numerics.
+        assert e_fused_n._dedup_mp_cache[1] is not None, "mp dedup idle"
+        e_off = Engine(
+            CFConfig(**kw_none), local_train, local_test, mesh=mesh
+        )
+        e_off._history_dedup_mp = lambda *a, **k: None
+        off_n = e_off.train_epochs(3)
+        assert all(
+            abs(a - b) <= 1e-5 * max(1.0, abs(a))
+            for a, b in zip(off_n, fused_n)
+        ), (off_n, fused_n)
         print(
             f"proc {proc_id}: fused==sequential losses "
             f"{[round(x, 5) for x in fused]} (epoch-shuffle) "
