@@ -197,7 +197,16 @@ def run_tpu_tier():
     """Run the on-chip hazard-regression tier (tests_tpu/) IN-PROCESS on
     the chip this benchmark already holds (a subprocess would deadlock on
     the exclusive device grant) and return (passed, failed) counts, so
-    BENCH_r*.json carries proof the TPU tier ran (VERDICT r2 item 6)."""
+    BENCH_r*.json carries proof the TPU tier ran (VERDICT r2 item 6).
+
+    Setup/teardown errors and collection failures count as failures (a
+    red tier must never read as green), and pytest's terminal output is
+    routed to stderr so stdout keeps the one-JSON-line contract. The
+    tier directory resolves relative to this file, not the cwd."""
+    import contextlib
+    import os
+    import sys
+
     import pytest
 
     class _Counter:
@@ -206,17 +215,22 @@ def run_tpu_tier():
             self.failed = 0
 
         def pytest_runtest_logreport(self, report):
-            if report.when == "call":
-                if report.passed:
-                    self.passed += 1
-                elif report.failed:
-                    self.failed += 1
+            if report.when == "call" and report.passed:
+                self.passed += 1
+            elif report.failed:  # call failures AND setup/teardown errors
+                self.failed += 1
 
+    tier_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tests_tpu")
     c = _Counter()
-    pytest.main(
-        ["tests_tpu", "-q", "-p", "no:cacheprovider", "--no-header"],
-        plugins=[c],
-    )
+    with contextlib.redirect_stdout(sys.stderr):
+        rc = pytest.main(
+            [tier_dir, "-q", "-p", "no:cacheprovider", "--no-header"],
+            plugins=[c],
+        )
+    if rc != 0 and c.failed == 0:
+        # Collection/usage error with no per-test reports: still red.
+        c.failed = -int(rc) if int(rc) < 0 else int(rc)
     return c.passed, c.failed
 
 
@@ -459,6 +473,7 @@ def main() -> None:
         result["tpu_tests_failed"] = failed
     else:
         result["tpu_tests_passed"] = None
+        result["tpu_tests_failed"] = None
     print(json.dumps(result))
 
 

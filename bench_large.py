@@ -87,8 +87,8 @@ def main() -> None:
     p.add_argument(
         "--emb-pad", type=int, default=128,
         help="physical minor width of the tables (CFConfig.emb_pad): "
-        "free at rest under lane tiling and 2.2x faster to row-scatter "
-        "at 16M-row tables than half-lane (N, 64) rows "
+        "2.2x faster to row-scatter at 16M-row tables than half-lane "
+        "(N, 64) rows, at the price of doubled at-rest table bytes "
         "(scripts/profile_lane_width.py); 0 disables",
     )
     args = p.parse_args()

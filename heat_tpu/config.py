@@ -144,17 +144,18 @@ class CFConfig:
     compute_dtype: str = "float32"  # scoring-matmul dtype
 
     # --- physical layout --------------------------------------------------
-    # Physical minor width of every d-wide state array (0 = emb_dim). TPU
-    # lane tiling pads the minor dim to 128 at rest anyway, so for bf16
-    # d<=64 tables emb_pad=128 costs ZERO extra HBM — and at huge tables
-    # (16M rows) full-sublane rows make XLA row scatters 2.2x faster and
-    # gathers 1.25x faster than half-lane (N, 64) rows (measured,
-    # scripts/profile_lane_width.py; at 91.6k-row tables it is a ~1.4x
-    # scatter LOSS, so this is a huge-table knob, not a default). The pad
-    # columns are provably zero through every update: all row reads carry
-    # zero tails, so every gradient, moment, and l2 term has a zero tail,
-    # and w0's pad rows/cols stay zero under its outer-product gradient.
-    # Math is therefore IDENTICAL to the unpadded model.
+    # Physical minor width of every d-wide state array (0 = emb_dim). At
+    # huge tables (16M rows) full-sublane rows make XLA row scatters 2.2x
+    # faster and gathers 1.25x faster than half-lane (N, 64) bf16 rows
+    # (measured, scripts/profile_lane_width.py) — 3.08x end to end on the
+    # 16M x 6M bench. COSTS REAL HBM: bf16 tables are stored compactly at
+    # rest (128 B/row at width 64), so width 128 DOUBLES table bytes. At
+    # 91.6k-row tables it is also a ~1.4x scatter LOSS — a huge-table
+    # knob, not a default. The pad columns are provably zero through
+    # every update: all row reads carry zero tails, so every gradient,
+    # moment, and l2 term has a zero tail, and w0's pad rows/cols stay
+    # zero under its outer-product gradient. Math is therefore IDENTICAL
+    # to the unpadded model.
     emb_pad: int = 0
 
     def __post_init__(self) -> None:

@@ -64,8 +64,8 @@ def init_train_state(cfg: CFConfig, key: jax.Array) -> TrainState:
 
     cfg.emb_pad > emb_dim allocates every d-wide array at the padded
     physical width with ZERO tail columns (and zero pad rows/cols for w0)
-    — free at rest under TPU lane tiling and much faster to row-scatter
-    at huge tables (see CFConfig.emb_pad). The zero tails are invariant
+    — much faster to row-scatter at huge tables, at the price of the
+    extra at-rest bytes (see CFConfig.emb_pad). The zero tails are invariant
     under training (zero reads -> zero grads/moments -> zero writes), so
     the padded model computes bit-identical math to the unpadded one.
     """

@@ -35,8 +35,14 @@ ITERS = 200
 WINDOW = 256
 
 
-def scan_time(name, body, carry_fn, rows, iters=ITERS):
-    fn = jax.jit(lambda c, ks: jax.lax.scan(body, c, ks), donate_argnums=0)
+def scan_time(name, body, carry_fn, rows, iters=ITERS, donate=True):
+    # donate=False for Pallas bodies: donating the table carry that also
+    # feeds a pallas_call HBM operand was observed to fail at runtime
+    # (InvalidArgument) where the undonated form runs fine.
+    fn = jax.jit(
+        lambda c, ks: jax.lax.scan(body, c, ks),
+        donate_argnums=(0,) if donate else (),
+    )
     keys = jax.random.split(jax.random.key(1), iters)
     out = fn(carry_fn(), keys)
     _ = float(jax.tree.leaves(out)[0].ravel()[0].astype(jnp.float32))
@@ -130,9 +136,7 @@ def pallas_part() -> None:
                     (tile * r, d), lambda i: (i, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                out_shape=jax.ShapeDtypeStruct((n_desc * tile // tile * tile * r // grid // tile * grid * tile, d), jnp.float32)
-                if False
-                else jax.ShapeDtypeStruct((rows_total, d), jnp.float32),
+                out_shape=jax.ShapeDtypeStruct((rows_total, d), jnp.float32),
                 scratch_shapes=[pltpu.SemaphoreType.DMA((WINDOW,))],
             )(ids, table)
 
@@ -148,6 +152,7 @@ def pallas_part() -> None:
                 lambda table=table: table,
                 rows_total,
                 iters=50,
+                donate=False,
             )
         except Exception as e:  # Mosaic may reject a shape; record it
             print(f"pallas r={r}: REJECTED: {type(e).__name__}: {e}"[:200])
