@@ -334,18 +334,29 @@ def main() -> None:
     )
     # Large-batch frontier (VERDICT r2 item 8), parity-checked at full
     # scale with linear lr scaling (scripts/accuracy_parity.py,
-    # direct:bfloat16:bfloat16, 2026-08-21): batch 32768 @ lr 0.04 ->
-    # Recall@20 0.0124; batch 65536 @ lr 0.08 -> 0.0125 — both inside the
-    # paper's +-0.0003 bar vs the 8192 reference (0.0124/0.0125).
+    # direct:bfloat16:bfloat16, 2026-08-21): with the paper-Alg.-1
+    # auto-derived tile (tile_size=0 -> 128 at these batches), batch
+    # 32768 @ lr 0.04 -> Recall@20 0.0126 and batch 65536 @ lr 0.08 ->
+    # 0.0126 — at the exact reference's own value (0.0126); tile-512
+    # variants measured 0.0124/0.0125. The auto tile is ~1.6x faster
+    # than tile 512 at batch 32768 (the (B, T) score/count buffers
+    # shrink 4x): Alg-1 retunes tile with batch, exactly as the paper
+    # retunes per hardware.
     BATCH = 32768
     fast32k_s, _ = time_epochs(
-        "subepoch", dataset, reps=2, neg_sampler=1, tile_size=512,
+        "subepoch", dataset, reps=2, neg_sampler=1, tile_size=0,
+        refresh_interval=32768, compute_dtype="bfloat16",
+        param_dtype="bfloat16", update_mode="direct",
+    )
+    # Champion throughput row: 32k batch, auto tile, 5 epochs/dispatch.
+    fast32kf_s, _ = time_epochs(
+        "subepoch", dataset, reps=2, fused=5, neg_sampler=1, tile_size=0,
         refresh_interval=32768, compute_dtype="bfloat16",
         param_dtype="bfloat16", update_mode="direct",
     )
     BATCH = 65536
     fast65k_s, _ = time_epochs(
-        "subepoch", dataset, reps=2, neg_sampler=1, tile_size=512,
+        "subepoch", dataset, reps=2, neg_sampler=1, tile_size=0,
         refresh_interval=65536, compute_dtype="bfloat16",
         param_dtype="bfloat16", update_mode="direct",
     )
@@ -441,6 +452,11 @@ def main() -> None:
         "throughput16k_vs_baseline": round(BASELINE_EPOCH_S / fast16k_s, 2),
         "throughput32k_s": round(fast32k_s, 4),
         "throughput32k_vs_baseline": round(BASELINE_EPOCH_S / fast32k_s, 2),
+        "throughput32k_fused5_s": round(fast32kf_s, 4),
+        "throughput32k_fused5_vs_baseline": round(
+            BASELINE_EPOCH_S / fast32kf_s, 2
+        ),
+        "throughput32k_interactions_per_sec": round(TRAIN_SIZE / fast32kf_s),
         "throughput65k_s": round(fast65k_s, 4),
         "throughput65k_vs_baseline": round(BASELINE_EPOCH_S / fast65k_s, 2),
         "heavy_d256_negs64_s": round(heavy_s, 4),

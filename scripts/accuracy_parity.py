@@ -42,18 +42,19 @@ def run(
     seed: int = 2022,
     batch_size: int = 8192,
     l_r: float = 0.01,
+    tile: int = 512,
 ) -> dict:
     refresh = max(8192, batch_size)  # tile refresh counts samples; keep
     # the per-batch cadence of the 8192 headline (refresh every step)
     if mode == "fast":
         kw = dict(
-            neg_sampler=1, tile_size=512, refresh_interval=refresh,
+            neg_sampler=1, tile_size=tile, refresh_interval=refresh,
             his_refresh="subepoch",
         )
     elif mode == "direct":
         # fast + update_mode="direct" (per-occurrence scatter-add updates)
         kw = dict(
-            neg_sampler=1, tile_size=512, refresh_interval=refresh,
+            neg_sampler=1, tile_size=tile, refresh_interval=refresh,
             his_refresh="subepoch", update_mode="direct",
         )
     elif mode == "exact":
@@ -96,6 +97,11 @@ def main() -> None:
         help="learning rate (the 16384-batch throughput mode uses 0.02 — "
         "linear batch scaling)",
     )
+    ap.add_argument(
+        "--tile", type=int, default=512,
+        help="tile sampler size for fast/direct modes; <=0 auto-derives "
+        "per the paper-Alg.-1 analog (128 at batch 32768)",
+    )
     args = ap.parse_args()
 
     train, test = synthetic_click_dataset(
@@ -109,7 +115,7 @@ def main() -> None:
         param_dtype = parts[2] if len(parts) > 2 else "float32"
         out[spec] = run(
             mode, train, test, args.epochs, dtype, param_dtype, args.seed,
-            args.batch, args.lr,
+            args.batch, args.lr, args.tile,
         )
         print(json.dumps({spec: out[spec]}), flush=True)
     if "fast" not in out or "exact" not in out:
