@@ -263,3 +263,27 @@ def test_sharded_direct_update_mode(data):
     np.testing.assert_allclose(l_sharded[0], l_single[0], rtol=5e-4)
     np.testing.assert_allclose(l_sharded[1], l_single[1], rtol=2e-2)
     assert np.isfinite(l_sharded).all()
+
+
+def test_sharded_emb_pad_composes(data):
+    """Physical column padding (CFConfig.emb_pad) composes with the mesh's
+    row-sharding (and row-divisibility padding): the padded-width tables
+    row-shard over the same layout, train, and evaluate like the
+    unsharded padded engine."""
+    train, test = data
+    mesh = make_mesh(2, 4, jax.devices()[:8])
+    cfg_kw = dict(
+        emb_dim=16, num_negs=4, max_his=10, l_r=0.05, batch_size=256,
+        seed=7, metrics=["Recall(k=20)"], emb_pad=128,
+    )
+    e_mesh = Engine(CFConfig(**cfg_kw), train, test, mesh=mesh)
+    e_ref = Engine(CFConfig(**cfg_kw), train, test)
+    losses_mesh = [e_mesh.train_one_epoch() for _ in range(2)]
+    losses_ref = [e_ref.train_one_epoch() for _ in range(2)]
+    np.testing.assert_allclose(losses_mesh, losses_ref, rtol=5e-2)
+    assert e_mesh.state.user_emb.shape[1] == 128
+    # Tails stay zero under sharded updates too.
+    ue = np.asarray(e_mesh.state.user_emb)
+    assert not ue[:, 16:].any()
+    m = e_mesh.evaluate()
+    assert 0.0 <= m["Recall(k=20)"] <= 1.0
