@@ -281,6 +281,9 @@ class Engine:
 
         self._epoch_fn = make_epoch_fn(cfg)
         self._multi_epoch_fn = None  # built lazily by train_epochs
+        # One-dispatch sub-epoch epochs (uniform sampler + SGD); tests
+        # flip this off to compare against the per-bucket dispatch path.
+        self._fuse_subepochs = True
         self._np_rng = np.random.default_rng(seed ^ 0x5EED)
         # Host-visible phase accumulation (the reference's time_map /
         # performance_breakdown, engine.cpp:22-65, at engine granularity).
@@ -609,20 +612,155 @@ class Engine:
                 part_of[perm[bounds[s] : bounds[s + 1]]] = s
             pairs_np = np.asarray(self.pairs)
             pair_part = part_of[pairs_np[:, 1]]
+            buckets, complements = [], []
             for s in range(cfg.num_subepochs):
-                bucket = pairs_np[pair_part == s]
-                complement = perm[
-                    np.concatenate(
-                        [np.arange(0, bounds[s]), np.arange(bounds[s + 1], cfg.num_items)]
-                    )
-                ].astype(np.int32)
-                total_loss += self._run_pairs(
-                    jnp.asarray(bucket), jnp.asarray(complement)
+                buckets.append(pairs_np[pair_part == s])
+                complements.append(
+                    perm[
+                        np.concatenate(
+                            [
+                                np.arange(0, bounds[s]),
+                                np.arange(bounds[s + 1], cfg.num_items),
+                            ]
+                        )
+                    ].astype(np.int32)
                 )
-                if cfg.sgd_mode == SGD_MODE_ACCUM:
-                    self.state = zero_grad_accumulators(self.state)
+            if (
+                cfg.neg_sampler == 0
+                and cfg.optimizer == "sgd"
+                and self._fuse_subepochs
+            ):
+                # ONE device program for all S sub-epochs (grad zeroing
+                # at sub-epoch boundaries happens inside it).
+                total_loss = self._run_subepochs_fused(buckets, complements)
+            else:
+                # Tile sampler / moment optimizers: per-bucket dispatch
+                # (the fused program's weight-0 padding batches would
+                # shift the tile-refresh cadence / Adam step counter).
+                for bucket, complement in zip(buckets, complements):
+                    total_loss += self._run_pairs(
+                        jnp.asarray(bucket), jnp.asarray(complement)
+                    )
+                    if cfg.sgd_mode == SGD_MODE_ACCUM:
+                        self.state = zero_grad_accumulators(self.state)
         self.epoch += 1
         return total_loss / max(1, cfg.train_size)
+
+    def _run_subepochs_fused(self, buckets, complements) -> float:
+        """All S sub-epoch buckets in ONE device program
+        (train_step.make_subepoch_epoch_fn): ragged buckets pad with
+        weight-0 rows/batches, ragged complement pools pad to one width
+        with their true sizes riding along (pad entries are never
+        sampled). Key draws follow the sequential per-bucket order
+        (shuffle key then epoch key per non-empty bucket; empty buckets
+        draw nothing, exactly like the per-bucket path's early return).
+        """
+        from heat_tpu.train.train_step import make_subepoch_epoch_fn
+
+        cfg = self.cfg
+        s_count = len(buckets)
+        with self.timer.phase("data"):
+            keys, arrs = [], []
+            if self._multiprocess:
+                packed = []
+                for b in buckets:
+                    u, p, w = self._local_batches(jnp.asarray(b))
+                    packed.append(
+                        (np.asarray(u), np.asarray(p), np.asarray(w))
+                    )
+                    keys.append(self._next_key())
+                nb = max(a[0].shape[0] for a in packed)
+
+                def padnb(a):
+                    if a.shape[0] == nb:
+                        return a
+                    out = np.zeros((nb,) + a.shape[1:], a.dtype)
+                    out[: a.shape[0]] = a
+                    return out
+
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from heat_tpu.parallel.mesh import DATA_AXIS
+
+                stream_sh = NamedSharding(
+                    self.mesh, P(None, None, DATA_AXIS)
+                )
+                users, pos, weight = (
+                    jax.make_array_from_process_local_data(
+                        stream_sh,
+                        np.stack([padnb(a[i]) for a in packed]),
+                    )
+                    for i in range(3)
+                )
+            else:
+                ns = [int(b.shape[0]) for b in buckets]
+                batch = min(cfg.batch_size, max(1, max(ns)))
+                batch = (
+                    -(-batch // self._data_axis_size) * self._data_axis_size
+                )
+                nb = max(
+                    [-(-n // batch) for n in ns if n > 0] or [1]
+                )
+                for b, n in zip(buckets, ns):
+                    if n == 0:
+                        arrs.append(
+                            (
+                                jnp.zeros((nb, batch), jnp.int32),
+                                jnp.zeros((nb, batch), jnp.int32),
+                                jnp.zeros((nb, batch), jnp.float32),
+                            )
+                        )
+                        keys.append(jax.random.key(0))  # dummy, weight 0
+                        continue
+                    arrs.append(
+                        self._shuffle_or_pack(jnp.asarray(b), nb, batch)
+                    )
+                    keys.append(self._next_key())
+                users = jnp.stack([a[0] for a in arrs])
+                pos = jnp.stack([a[1] for a in arrs])
+                weight = jnp.stack([a[2] for a in arrs])
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    from heat_tpu.parallel.mesh import DATA_AXIS
+
+                    sh = NamedSharding(self.mesh, P(None, None, DATA_AXIS))
+                    users = jax.device_put(users, sh)
+                    pos = jax.device_put(pos, sh)
+                    weight = jax.device_put(weight, sh)
+            c_sizes = [len(c) for c in complements]
+            c_max = max(1, max(c_sizes))
+            pools_np = np.zeros((s_count, c_max), np.int32)
+            for s, c in enumerate(complements):
+                if len(c):
+                    pools_np[s, : len(c)] = c
+                    pools_np[s, len(c):] = c[0]
+            pools = jnp.asarray(pools_np)
+            sizes = jnp.maximum(
+                jnp.asarray(c_sizes, jnp.int32), 1
+            )
+            if self._replicated is not None and not self._multiprocess:
+                pools = jax.device_put(pools, self._replicated)
+                sizes = jax.device_put(sizes, self._replicated)
+            epoch_keys = jnp.stack(keys)
+        if getattr(self, "_subepoch_epoch_fn", None) is None:
+            self._subepoch_epoch_fn = make_subepoch_epoch_fn(cfg, self.mesh)
+        with self.timer.phase("f_b"):
+            self.state, self.sampler_state, loss_sum = (
+                self._subepoch_epoch_fn(
+                    self.state,
+                    self.sampler_state,
+                    epoch_keys,
+                    users,
+                    pos,
+                    weight,
+                    pools,
+                    sizes,
+                    self.his_items,
+                    self.his_masks,
+                )
+            )
+            return float(loss_sum)
 
     def train_epochs(self, n: int) -> list[float]:
         """Run ``n`` epochs; returns the mean per-sample loss of each.
@@ -1074,10 +1212,12 @@ class Engine:
         user_tile: int,
         user_arr,
     ) -> dict[str, float]:
-        """Fallback for geometries the shard_map path cannot cover
-        (num_items not divisible by 32 * model-axis, or k > items/shard):
-        each host allgathers the item table — O(I*d) per host — and scores
-        locally. Metric sums are combined exactly across hosts."""
+        """Fallback for the geometries the shard_map path cannot cover —
+        since the item axis is padded (sharded_pad_items), that is only
+        k > padded items/shard or a user axis that cannot split over the
+        data axis: each host allgathers the item table — O(I*d) per host
+        — and scores locally. Metric sums are combined exactly across
+        hosts."""
         from jax.experimental import multihost_utils
 
         item_emb = multihost_utils.process_allgather(

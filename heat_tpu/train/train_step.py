@@ -73,12 +73,18 @@ def train_step(
     user_means: Optional[jnp.ndarray] = None,
     uniq_users: Optional[jnp.ndarray] = None,
     uniq_inverse: Optional[jnp.ndarray] = None,
+    neg_candidates_size: Optional[jnp.ndarray] = None,
 ) -> tuple[TrainState, SamplerState, jnp.ndarray]:
     """One fused minibatch step. Returns (state', sampler_state', loss_sum).
 
     neg_candidates: optional (C,) item-id pool to constrain negatives to
       (the sub-epoch partition-complement sampling of engine.cpp:222-237);
       None draws from the full item space.
+    neg_candidates_size: optional traced scalar — the VALID prefix length
+      of ``neg_candidates`` (the fused sub-epoch program pads every
+      sub-epoch's complement pool to one static width; draws index
+      ``pool[draw % size]`` so pad entries are never selected and the
+      sampling distribution matches the unpadded pool exactly).
     user_means: optional precomputed (U, d) pooled-history table
       (cfg.his_refresh == "subepoch", any cfg.aggregator); None recomputes
       from the live item table per step (reference semantics).
@@ -116,7 +122,12 @@ def train_step(
     )
     if neg_candidates is not None:
         # Constrained sampling: reinterpret draws as indices into the pool.
-        negs = neg_candidates[negs % neg_candidates.shape[0]]
+        pool_size = (
+            neg_candidates.shape[0]
+            if neg_candidates_size is None
+            else neg_candidates_size
+        )
+        negs = neg_candidates[negs % pool_size]
 
     user_emb, item_emb, w0 = state.user_emb, state.item_emb, state.w0
     compute = jnp.dtype(cfg.compute_dtype)
@@ -691,6 +702,112 @@ def make_multi_epoch_fn(cfg: CFConfig, mesh=None):
         return state, sampler_state, loss_sums
 
     return jax.jit(multi_epoch_fn, donate_argnums=(0, 1))
+
+
+def make_subepoch_epoch_fn(cfg: CFConfig, mesh=None):
+    """One device program for a FULL sub-epoch epoch: scan over the S
+    sub-epoch buckets (each with its own packed batches and
+    partition-complement negative pool), with accum-mode grad zeroing at
+    every sub-epoch boundary — replacing S dispatches per epoch with one
+    (the reference's live MPI mode is the sub-epoch scheme,
+    engine.cpp:108-131; dispatch overhead is ~35 ms/call through the
+    tunnel, so at S=8 this saves ~0.25 s/epoch of pure overhead).
+
+    Buckets are ragged: batches pad with weight-0 rows/batches and every
+    complement pool pads to one static width with its true length in
+    ``pool_sizes`` (draws index pool[draw % size], so padding never
+    biases the sampling distribution — see train_step
+    ``neg_candidates_size``).
+
+    Returns f(state, sampler_state, epoch_keys (S,), users (S, nb, B),
+              pos, weight, pools (S, C), pool_sizes (S,),
+              his_items, his_masks)
+        -> (state, sampler_state, loss_sum)
+    """
+    batch_sh = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from heat_tpu.parallel.mesh import DATA_AXIS
+
+        batch_sh = NamedSharding(mesh, PartitionSpec(None, None, DATA_AXIS))
+
+    from heat_tpu.models.aggregator import user_pools_impl
+
+    def subepoch_epoch_fn(
+        state,
+        sampler_state,
+        epoch_keys,
+        users,
+        pos,
+        weight,
+        pools,
+        pool_sizes,
+        his_items,
+        his_masks,
+    ):
+        num_batches = users.shape[1]
+        if batch_sh is not None:
+            users = jax.lax.with_sharding_constraint(users, batch_sh)
+            pos = jax.lax.with_sharding_constraint(pos, batch_sh)
+            weight = jax.lax.with_sharding_constraint(weight, batch_sh)
+
+        def sub_body(carry, xs):
+            state, sampler_state = carry
+            k_epoch, s_users, s_pos, s_weight, pool, pool_size = xs
+            bkeys = jax.random.split(k_epoch, num_batches)
+            user_means = None
+            if cfg.his_refresh == "subepoch":
+                user_means = user_pools_impl(
+                    state.item_emb,
+                    his_items,
+                    his_masks,
+                    user_emb=(
+                        state.user_emb
+                        if cfg.aggregator == "user_attention"
+                        else None
+                    ),
+                    attn_q=state.attn_q,
+                    aggregator=cfg.aggregator,
+                    max_his=cfg.max_his,
+                )
+
+            def body(c, bxs):
+                st, ss = c
+                k, u, p, w = bxs
+                st, ss, loss = train_step(
+                    st,
+                    ss,
+                    k,
+                    Batch(u, p, w),
+                    his_items,
+                    his_masks,
+                    cfg,
+                    neg_candidates=pool,
+                    neg_candidates_size=pool_size,
+                    user_means=user_means,
+                )
+                return (st, ss), loss
+
+            (state, sampler_state), losses = jax.lax.scan(
+                body, (state, sampler_state),
+                (bkeys, s_users, s_pos, s_weight),
+            )
+            if state.user_gacc is not None:
+                # Grad tables zero at EVERY sub-epoch end
+                # (engine.cpp:345-347).
+                from heat_tpu.models.state import zero_grad_accumulators
+
+                state = zero_grad_accumulators(state)
+            return (state, sampler_state), jnp.sum(losses)
+
+        (state, sampler_state), loss_sums = jax.lax.scan(
+            sub_body,
+            (state, sampler_state),
+            (epoch_keys, users, pos, weight, pools, pool_sizes),
+        )
+        return state, sampler_state, jnp.sum(loss_sums)
+
+    return jax.jit(subepoch_epoch_fn, donate_argnums=(0, 1))
 
 
 def make_multi_epoch_stream_fn(cfg: CFConfig, mesh=None):

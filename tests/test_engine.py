@@ -556,3 +556,29 @@ def test_emb_pad_validation():
         CFConfig(emb_dim=64, emb_pad=32)
     with pytest.raises(ValueError, match="mean"):
         CFConfig(emb_dim=16, emb_pad=128, aggregator="user_attention")
+
+
+def test_subepoch_fused_matches_per_bucket(data):
+    """The one-dispatch sub-epoch epoch program (make_subepoch_epoch_fn)
+    must reproduce the per-bucket dispatch path exactly: same key-draw
+    order, same bucket packing (buckets here exceed batch_size so the
+    packed widths agree), padded pool entries never sampled, accum-mode
+    grad zeroing at sub-epoch boundaries inside the program."""
+    train, test = data
+    kw = dict(num_subepochs=3, sgd_mode="accum", batch_size=64)
+    e_fused = Engine(small_cfg(**kw), train, test, seed=5)
+    fused = [e_fused.train_one_epoch() for _ in range(2)]
+    e_seq = Engine(small_cfg(**kw), train, test, seed=5)
+    e_seq._fuse_subepochs = False
+    seq = [e_seq.train_one_epoch() for _ in range(2)]
+    np.testing.assert_allclose(fused, seq, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(e_fused.state.user_emb),
+        np.asarray(e_seq.state.user_emb),
+        rtol=1e-5, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(e_fused.state.item_emb),
+        np.asarray(e_seq.state.item_emb),
+        rtol=1e-5, atol=1e-7,
+    )
