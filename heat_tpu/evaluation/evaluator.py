@@ -260,7 +260,7 @@ class TiledEvaluator:
         self,
         train_pairs: np.ndarray | None,
         num_users: int,
-        user_tile: int = 1024,
+        user_tile: int = 512,
         *,
         num_items: int | None = None,
     ):
@@ -443,7 +443,7 @@ def topk_scores(
     k: int,
     *,
     train_pairs: np.ndarray | None = None,
-    user_tile: int = 1024,
+    user_tile: int = 512,
     exact: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     """One-shot wrapper over TiledEvaluator (see class docstring).

@@ -41,7 +41,7 @@ class Recommender:
         seen_pairs: Optional[np.ndarray] = None,
         his_items=None,
         his_masks=None,
-        user_tile: int = 1024,
+        user_tile: int = 512,
     ):
         self.state = state
         self.cfg = cfg

@@ -986,7 +986,7 @@ class Engine:
     def evaluate(
         self,
         metrics: Optional[Sequence[str]] = None,
-        user_tile: int = 1024,
+        user_tile: int = 512,
         aggregate_users: bool = False,
         exact: bool = True,
         recall_target: float = 0.99,
