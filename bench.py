@@ -210,15 +210,27 @@ def run_tpu_tier():
     import pytest
 
     class _Counter:
+        # Per-test outcome sets (a test whose call passes but whose
+        # teardown errors must count as ONE failure, not one of each).
         def __init__(self):
-            self.passed = 0
-            self.failed = 0
+            self._passed_ids = set()
+            self._failed_ids = set()
 
         def pytest_runtest_logreport(self, report):
-            if report.when == "call" and report.passed:
-                self.passed += 1
-            elif report.failed:  # call failures AND setup/teardown errors
-                self.failed += 1
+            if report.failed:  # call failures AND setup/teardown errors
+                self._failed_ids.add(report.nodeid)
+                self._passed_ids.discard(report.nodeid)
+            elif report.when == "call" and report.passed:
+                if report.nodeid not in self._failed_ids:
+                    self._passed_ids.add(report.nodeid)
+
+        @property
+        def passed(self):
+            return len(self._passed_ids)
+
+        @property
+        def failed(self):
+            return len(self._failed_ids)
 
     tier_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "tests_tpu")
@@ -228,10 +240,12 @@ def run_tpu_tier():
             [tier_dir, "-q", "-p", "no:cacheprovider", "--no-header"],
             plugins=[c],
         )
-    if rc != 0 and c.failed == 0:
-        # Collection/usage error with no per-test reports: still red.
-        c.failed = -int(rc) if int(rc) < 0 else int(rc)
-    return c.passed, c.failed
+    passed, failed = c.passed, c.failed
+    if rc != 0 and failed == 0:
+        # Collection/usage error with no per-test reports: still red
+        # (pytest ExitCode is a small positive int).
+        failed = int(rc)
+    return passed, failed
 
 
 def time_eval(dataset: ClickDataset, truth_ids=None, exact_only=False):
@@ -456,7 +470,9 @@ def main() -> None:
         "throughput32k_fused5_vs_baseline": round(
             BASELINE_EPOCH_S / fast32kf_s, 2
         ),
-        "throughput32k_interactions_per_sec": round(TRAIN_SIZE / fast32kf_s),
+        "throughput32k_fused5_interactions_per_sec": round(
+            TRAIN_SIZE / fast32kf_s
+        ),
         "throughput65k_s": round(fast65k_s, 4),
         "throughput65k_vs_baseline": round(BASELINE_EPOCH_S / fast65k_s, 2),
         "heavy_d256_negs64_s": round(heavy_s, 4),

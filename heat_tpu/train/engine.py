@@ -651,9 +651,13 @@ class Engine:
         (train_step.make_subepoch_epoch_fn): ragged buckets pad with
         weight-0 rows/batches, ragged complement pools pad to one width
         with their true sizes riding along (pad entries are never
-        sampled). Key draws follow the sequential per-bucket order
-        (shuffle key then epoch key per non-empty bucket; empty buckets
-        draw nothing, exactly like the per-bucket path's early return).
+        sampled). Key draws follow the sequential per-bucket order in
+        each regime: single-process draws shuffle+epoch keys per
+        NON-EMPTY bucket only (the per-bucket path's _run_pairs returns
+        early on empty buckets, drawing nothing); multiprocess draws for
+        EVERY bucket (the per-bucket mp path has no early return — empty
+        local shards still run _local_batches' compensating draw),
+        keeping host key streams aligned. Do not "unify" the two.
         """
         from heat_tpu.train.train_step import make_subepoch_epoch_fn
 

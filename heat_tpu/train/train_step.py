@@ -61,6 +61,28 @@ class Batch(NamedTuple):
     weight: jnp.ndarray  # (B,) f32 — 1 for real samples, 0 for padding
 
 
+def _refresh_pools(cfg: CFConfig, state, his_items, his_masks):
+    """The per-(sub-)epoch pooled-history refresh shared by every epoch
+    program builder: None unless cfg.his_refresh == "subepoch", else the
+    (U, d) pooled table computed INSIDE the program from the live state
+    (so it materializes in the consuming layout — see make_epoch_fn)."""
+    if cfg.his_refresh != "subepoch":
+        return None
+    from heat_tpu.models.aggregator import user_pools_impl
+
+    return user_pools_impl(
+        state.item_emb,
+        his_items,
+        his_masks,
+        user_emb=(
+            state.user_emb if cfg.aggregator == "user_attention" else None
+        ),
+        attn_q=state.attn_q,
+        aggregator=cfg.aggregator,
+        max_his=cfg.max_his,
+    )
+
+
 def train_step(
     state: TrainState,
     sampler_state: SamplerState,
@@ -487,7 +509,6 @@ def make_epoch_fn(cfg: CFConfig):
     in: produced in the layout the scan consumes, it needs no cross-jit
     layout copy — at 20M users that copy alone is 4.77 GB of HBM (measured).
     """
-    from heat_tpu.models.aggregator import user_pools_impl
 
     def epoch_fn(
         state,
@@ -504,21 +525,7 @@ def make_epoch_fn(cfg: CFConfig):
     ):
         num_batches = users.shape[0]
         keys = jax.random.split(key, num_batches)
-        user_means = None
-        if cfg.his_refresh == "subepoch":
-            user_means = user_pools_impl(
-                state.item_emb,
-                his_items,
-                his_masks,
-                user_emb=(
-                    state.user_emb
-                    if cfg.aggregator == "user_attention"
-                    else None
-                ),
-                attn_q=state.attn_q,
-                aggregator=cfg.aggregator,
-                max_his=cfg.max_his,
-            )
+        user_means = _refresh_pools(cfg, state, his_items, his_masks)
 
         have_uniq = uniq_users is not None
 
@@ -595,16 +602,15 @@ def make_multi_epoch_fn(cfg: CFConfig, mesh=None):
     on-device shuffle stays replicated and the packed batches are
     sharding-constrained over the "data" axis exactly like the per-epoch
     path's host-side ``device_put`` (Engine._make_batches), so the scanned
-    step compiles to the same collective layout. Engine.train_epochs falls
-    back to per-epoch calls for multi-process meshes (each process holds
-    only its pair shard) and sub-epoch partitioning.
+    step compiles to the same collective layout. Multi-process meshes use
+    ``make_multi_epoch_stream_fn`` instead (each process holds only its
+    pair shard, so the shuffle happens per host, pre-packed); sub-epoch
+    partitioning fuses per epoch via ``make_subepoch_epoch_fn``.
 
     Returns f(state, sampler_state, shuffle_keys (E,), epoch_keys (E,),
               lrs (E,), pairs (N, 2), his_items, his_masks)
         -> (state, sampler_state, loss_sums (E,))
     """
-    from heat_tpu.models.aggregator import user_pools_impl
-
     d_ax = 1
     batch_sh = None
     if mesh is not None:
@@ -652,21 +658,7 @@ def make_multi_epoch_fn(cfg: CFConfig, mesh=None):
                 users = jax.lax.with_sharding_constraint(users, batch_sh)
                 pos = jax.lax.with_sharding_constraint(pos, batch_sh)
             bkeys = jax.random.split(k_epoch, num_batches)
-            user_means = None
-            if cfg.his_refresh == "subepoch":
-                user_means = user_pools_impl(
-                    state.item_emb,
-                    his_items,
-                    his_masks,
-                    user_emb=(
-                        state.user_emb
-                        if cfg.aggregator == "user_attention"
-                        else None
-                    ),
-                    attn_q=state.attn_q,
-                    aggregator=cfg.aggregator,
-                    max_his=cfg.max_his,
-                )
+            user_means = _refresh_pools(cfg, state, his_items, his_masks)
 
             def body(c, bxs):
                 st, ss = c
@@ -731,8 +723,6 @@ def make_subepoch_epoch_fn(cfg: CFConfig, mesh=None):
 
         batch_sh = NamedSharding(mesh, PartitionSpec(None, None, DATA_AXIS))
 
-    from heat_tpu.models.aggregator import user_pools_impl
-
     def subepoch_epoch_fn(
         state,
         sampler_state,
@@ -755,21 +745,7 @@ def make_subepoch_epoch_fn(cfg: CFConfig, mesh=None):
             state, sampler_state = carry
             k_epoch, s_users, s_pos, s_weight, pool, pool_size = xs
             bkeys = jax.random.split(k_epoch, num_batches)
-            user_means = None
-            if cfg.his_refresh == "subepoch":
-                user_means = user_pools_impl(
-                    state.item_emb,
-                    his_items,
-                    his_masks,
-                    user_emb=(
-                        state.user_emb
-                        if cfg.aggregator == "user_attention"
-                        else None
-                    ),
-                    attn_q=state.attn_q,
-                    aggregator=cfg.aggregator,
-                    max_his=cfg.max_his,
-                )
+            user_means = _refresh_pools(cfg, state, his_items, his_masks)
 
             def body(c, bxs):
                 st, ss = c
@@ -833,8 +809,6 @@ def make_multi_epoch_stream_fn(cfg: CFConfig, mesh=None):
 
         batch_sh = NamedSharding(mesh, PartitionSpec(None, None, DATA_AXIS))
 
-    from heat_tpu.models.aggregator import user_pools_impl
-
     def multi_epoch_stream_fn(
         state,
         sampler_state,
@@ -857,21 +831,7 @@ def make_multi_epoch_stream_fn(cfg: CFConfig, mesh=None):
             k_epoch, lr, e_users, e_pos, e_weight = xs
             state = state.replace(lr=lr)
             bkeys = jax.random.split(k_epoch, num_batches)
-            user_means = None
-            if cfg.his_refresh == "subepoch":
-                user_means = user_pools_impl(
-                    state.item_emb,
-                    his_items,
-                    his_masks,
-                    user_emb=(
-                        state.user_emb
-                        if cfg.aggregator == "user_attention"
-                        else None
-                    ),
-                    attn_q=state.attn_q,
-                    aggregator=cfg.aggregator,
-                    max_his=cfg.max_his,
-                )
+            user_means = _refresh_pools(cfg, state, his_items, his_masks)
 
             def body(c, bxs):
                 st, ss = c
@@ -929,8 +889,6 @@ def make_multi_epoch_fixed_fn(cfg: CFConfig, mesh=None):
 
         batch_sh = NamedSharding(mesh, PartitionSpec(None, DATA_AXIS))
 
-    from heat_tpu.models.aggregator import user_pools_impl
-
     def multi_epoch_fixed_fn(
         state,
         sampler_state,
@@ -956,21 +914,7 @@ def make_multi_epoch_fixed_fn(cfg: CFConfig, mesh=None):
             k_epoch, lr = xs
             state = state.replace(lr=lr)
             bkeys = jax.random.split(k_epoch, num_batches)
-            user_means = None
-            if cfg.his_refresh == "subepoch":
-                user_means = user_pools_impl(
-                    state.item_emb,
-                    his_items,
-                    his_masks,
-                    user_emb=(
-                        state.user_emb
-                        if cfg.aggregator == "user_attention"
-                        else None
-                    ),
-                    attn_q=state.attn_q,
-                    aggregator=cfg.aggregator,
-                    max_his=cfg.max_his,
-                )
+            user_means = _refresh_pools(cfg, state, his_items, his_masks)
 
             def body(c, bxs):
                 st, ss = c

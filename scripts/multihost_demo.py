@@ -141,6 +141,10 @@ def worker(
         losses = [eng.train_one_epoch() for _ in range(3)]
         assert all(np.isfinite(l) for l in losses), losses
         assert losses[-1] < losses[0], losses
+        # The fused one-dispatch sub-epoch program must be what ran
+        # (uniform sampler + SGD routes through it by default) — this is
+        # the multi-process branch's coverage.
+        assert getattr(eng, "_subepoch_epoch_fn", None) is not None
         # Prove the per-host numpy RNG streams stayed aligned (the
         # partition permutations were identical draws on every host):
         # after identical consumption, the next draws must agree.
