@@ -782,8 +782,10 @@ class Engine:
         (VERDICT r2 item 1): fixed streams ("none"/"once") pack once and
         reuse (``_train_epochs_fixed``); "epoch" mode packs each host's
         per-epoch shuffles up front and scans the stacked stream
-        (``_train_epochs_stream``). Only sub-epoch partitioning falls back
-        to the per-epoch loop (its pair bucketing is per-epoch host work).
+        (``_train_epochs_stream``). Sub-epoch partitioning loops per epoch
+        here (its pair bucketing is per-epoch host work), but each of
+        those epochs is itself ONE dispatch covering all S sub-epochs
+        (``_run_subepochs_fused``) for uniform-sampler SGD configs.
         """
         cfg = self.cfg
         if n <= 1 or cfg.num_subepochs > 1 or (
