@@ -111,3 +111,31 @@ def test_recommender_accepts_engine_flat_history():
         rec_flat.recommend_all(10, aggregate_users=True),
         rec_2d.recommend_all(10, aggregate_users=True),
     )
+
+
+def test_recommender_with_emb_pad_state():
+    """Serving from a lane-padded state (CFConfig.emb_pad): the zero tail
+    columns change no score, so recommendations match the unpadded
+    model's exactly (same seeds -> same init real block)."""
+    train, test = synthetic_click_dataset(
+        num_users=80, num_items=200, clicks_per_user=20, max_his=6, seed=9
+    )
+    kw = dict(
+        emb_dim=16, num_negs=8, max_his=6, l_r=0.02, batch_size=4096,
+        seed=4,
+    )
+    e_base = Engine(CFConfig(**kw), train, test)
+    e_pad = Engine(CFConfig(**kw, emb_pad=128), train, test)
+    e_base.train_one_epoch()  # single step: f32 grouping drift only
+    e_pad.train_one_epoch()
+    rec_base = Recommender(e_base.state, e_base.cfg, seen_pairs=train.pairs,
+                           his_items=train.his_items, his_masks=train.masks)
+    rec_pad = Recommender(e_pad.state, e_pad.cfg, seen_pairs=train.pairs,
+                          his_items=train.his_items, his_masks=train.masks)
+    np.testing.assert_array_equal(
+        rec_pad.recommend([0, 3, 7], k=10),
+        rec_base.recommend([0, 3, 7], k=10),
+    )
+    # Cold-start aggregation flows at the padded width too.
+    cold = rec_pad.recommend_cold([[1, 2, 3]], k=5)
+    assert cold.shape == (1, 5)
