@@ -38,6 +38,8 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=32_768)
     p.add_argument("--tile", type=int, default=2048)
     p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--emb-pad", type=int, default=128,
+                   help="physical table width (0 disables; see CFConfig)")
     args = p.parse_args()
 
     cfg = CFConfig(
@@ -55,9 +57,11 @@ def main() -> None:
         his_refresh="subepoch",
         compute_dtype="bfloat16",
         param_dtype="bfloat16",
+        emb_pad=args.emb_pad if args.emb_pad > args.dim else 0,
     )
     key = jax.random.key(0)
     B, K, T = args.batch, args.negs, args.tile
+    W = args.emb_pad if args.emb_pad > args.dim else args.dim  # physical width
     M = B + T  # item-update ids per step (pos + tile)
 
     def fresh_state():
@@ -105,14 +109,14 @@ def main() -> None:
     # --- sort+segment-sum only (no table touched)
     def seg_body(carry, k):
         ids = rand_ids(k, M, cfg.num_items)
-        grads = jnp.full((M, cfg.emb_dim), 1e-6, jnp.float32)
+        grads = jnp.full((M, W), 1e-6, jnp.float32)
         rep, summed = segment_sum_by_id(ids, grads, cfg.num_items)
         return carry, summed.ravel()[0] + rep[0]
 
     # --- item-table sorted update (sort + segment sum + 2 row scatters)
     def item_upd_body(table, k):
         ids = rand_ids(k, M, cfg.num_items)
-        grads = jnp.full((M, cfg.emb_dim), 1e-6, jnp.float32)
+        grads = jnp.full((M, W), 1e-6, jnp.float32)
         table, _ = apply_row_updates(
             table, ids, grads, lr=jnp.float32(0.01), clip_val=1.0
         )
@@ -121,7 +125,7 @@ def main() -> None:
     # --- user-table write-back + sorted update
     def user_upd_body(table, k):
         ids = rand_ids(k, B, cfg.num_users)
-        rows = jnp.full((B, cfg.emb_dim), 1e-3, table.dtype)
+        rows = jnp.full((B, W), 1e-3, table.dtype)
         table = table.at[ids].set(rows, mode="drop")
         table, _ = apply_row_updates(
             table, ids, rows.astype(jnp.float32),
@@ -132,7 +136,7 @@ def main() -> None:
     # --- user-table fused write-back+update (one scatter; the shipped path)
     def user_fused_body(table, k):
         ids = rand_ids(k, B, cfg.num_users)
-        rows = jnp.full((B, cfg.emb_dim), 1e-3, table.dtype)
+        rows = jnp.full((B, W), 1e-3, table.dtype)
         table, _ = apply_row_updates(
             table, ids, rows.astype(jnp.float32),
             lr=jnp.float32(0.01), clip_val=1.0, writeback=rows,
@@ -160,7 +164,7 @@ def main() -> None:
             fresh_state(),
             # fresh per call: donation consumes the previous one's buffers
             init_sampler_state(cfg, key),
-            jnp.zeros((cfg.num_users, cfg.emb_dim), jnp.dtype(cfg.param_dtype)),
+            jnp.zeros((cfg.num_users, W), jnp.dtype(cfg.param_dtype)),
         ),
     )
     scan_time("segment_sum_by_id (sort+dedup)", seg_body, lambda: 0.0)
@@ -183,9 +187,9 @@ def main() -> None:
         "gathers (u, means, pos)",
         gather_body,
         lambda: (
-            jnp.zeros((cfg.num_users, cfg.emb_dim), jnp.dtype(cfg.param_dtype)),
-            jnp.zeros((cfg.num_users, cfg.emb_dim), jnp.dtype(cfg.param_dtype)),
-            jnp.zeros((cfg.num_items, cfg.emb_dim), jnp.dtype(cfg.param_dtype)),
+            jnp.zeros((cfg.num_users, W), jnp.dtype(cfg.param_dtype)),
+            jnp.zeros((cfg.num_users, W), jnp.dtype(cfg.param_dtype)),
+            jnp.zeros((cfg.num_items, W), jnp.dtype(cfg.param_dtype)),
         ),
     )
 
