@@ -9,6 +9,7 @@ already-interacted items masked — all on device via the tiled evaluator.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import jax
@@ -16,9 +17,40 @@ import jax.numpy as jnp
 import numpy as np
 
 from heat_tpu.config import CFConfig
-from heat_tpu.evaluation.evaluator import TiledEvaluator
-from heat_tpu.models.aggregator import aggregate_history
+from heat_tpu.evaluation.evaluator import (
+    NEG_INF,
+    _TOPK_2PHASE_MIN_ITEMS,
+    TiledEvaluator,
+    exact_topk_2phase,
+)
+from heat_tpu.models.aggregator import aggregate_history, pool_history
 from heat_tpu.models.state import TrainState
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _topk_request(user_rows, item_pad, bits_rows, k: int):
+    """Rank ONE request batch: (B, d) user rows against the (padded)
+    item table with per-row packed seen-masks — the serving hot path
+    (scoring only the requested rows; ``recommend_all`` ranks the whole
+    user table, ~360 ms at AmazonBooks scale regardless of request
+    size)."""
+    sim = jnp.dot(
+        user_rows.astype(jnp.float32),
+        item_pad.astype(jnp.float32).T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    b, w = sim.shape[0], bits_rows.shape[1]
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    simp = sim.reshape(b, w, 32)
+    sim = jnp.where(
+        (bits_rows[:, :, None] >> shifts) & 1 == 1, NEG_INF, simp
+    ).reshape(b, w * 32)
+    if sim.shape[1] >= _TOPK_2PHASE_MIN_ITEMS:
+        _, ids = exact_topk_2phase(sim, k)
+    else:
+        _, ids = jax.lax.top_k(sim, k)
+    return ids
 
 
 class Recommender:
@@ -50,6 +82,26 @@ class Recommender:
         self._evaluator = TiledEvaluator(
             seen_pairs, int(state.user_emb.shape[0]), user_tile=user_tile
         )
+        # Request-path caches: the packed seen-mask as a flat per-user-row
+        # bitmap and the item table with its axis padded to the mask width
+        # (zero rows; pad bits are hard-masked) — built once, so a
+        # recommend() call moves only (B,) ids in and (B, k) ids out.
+        ev = self._evaluator
+        self._bits_flat = (
+            None
+            if ev.mask_bits is None
+            else ev.mask_bits.reshape(-1, ev.mask_bits.shape[2])
+        )
+        item_emb = state.item_emb
+        pad = ev._pad_items - int(item_emb.shape[0])
+        if pad > 0:
+            item_emb = jnp.concatenate(
+                [
+                    item_emb,
+                    jnp.zeros((pad, item_emb.shape[1]), item_emb.dtype),
+                ]
+            )
+        self._item_pad = item_emb
 
     def _user_embeddings(self, aggregate_users: bool):
         user_emb = self.state.user_emb
@@ -85,15 +137,68 @@ class Recommender:
         )
         return ids
 
+    def _user_rows(self, uids: jnp.ndarray, aggregate_users: bool):
+        """(B, d) embeddings for the requested users only (pooling, when
+        asked for, runs over just their histories — not the whole table)."""
+        u = self.state.user_emb[uids]
+        if not aggregate_users:
+            return u
+        if self.his_items is None or self.his_masks is None:
+            raise ValueError("aggregate_users requires history arrays")
+        his = jnp.asarray(self.his_items)
+        if his.ndim == 1:  # Engine's flat (U*H,) layout
+            h = self.cfg.max_his
+            hids = his[
+                uids[:, None] * h + jnp.arange(h, dtype=uids.dtype)[None, :]
+            ]
+        else:
+            hids = his[uids]
+        his_embs = self.state.item_emb[hids]
+        masks = jnp.asarray(self.his_masks)[uids]
+        pooled = pool_history(
+            his_embs,
+            masks,
+            u=u,
+            attn_q=(
+                None
+                if self.state.attn_q is None
+                else self.state.attn_q.astype(his_embs.dtype)
+            ),
+            kind=self.cfg.aggregator,
+        )
+        return aggregate_history(u, pooled, self.state.w0, self.cfg.gamma)
+
     def recommend(
         self,
         user_ids: Sequence[int],
         k: int,
         aggregate_users: bool = False,
     ) -> np.ndarray:
-        """(len(user_ids), k) top item ids for the requested users."""
-        ids = self.recommend_all(k, aggregate_users=aggregate_users)
-        return ids[np.asarray(user_ids, np.int64)]
+        """(len(user_ids), k) top item ids for the requested users.
+
+        Scores ONLY the requested rows (one (B, I) GEMM + per-row packed
+        seen-mask + exact top-k; request batches pad to power-of-two
+        buckets to bound jit specializations). Falls back to slicing
+        ``recommend_all`` when the seen-mask exceeds the packed-bitmap
+        budget (huge item spaces use per-pair masking)."""
+        uids_np = np.asarray(user_ids, np.int64)
+        if self._bits_flat is None or uids_np.size == 0:
+            ids = self.recommend_all(k, aggregate_users=aggregate_users)
+            return ids[uids_np]
+        uids = jnp.asarray(uids_np, jnp.int32)
+        rows = self._user_rows(uids, aggregate_users)
+        bits = self._bits_flat[uids]
+        b = int(uids_np.size)
+        bpad = max(8, 1 << (b - 1).bit_length())
+        if bpad != b:
+            rows = jnp.concatenate(
+                [rows, jnp.zeros((bpad - b, rows.shape[1]), rows.dtype)]
+            )
+            bits = jnp.concatenate(
+                [bits, jnp.zeros((bpad - b, bits.shape[1]), bits.dtype)]
+            )
+        ids = _topk_request(rows, self._item_pad, bits, k)
+        return np.asarray(ids[:b]).astype(np.int32)
 
     def recommend_cold(
         self,
