@@ -80,7 +80,14 @@ class Recommender:
         self.his_items = his_items
         self.his_masks = his_masks
         self._evaluator = TiledEvaluator(
-            seen_pairs, int(state.user_emb.shape[0]), user_tile=user_tile
+            seen_pairs,
+            int(state.user_emb.shape[0]),
+            user_tile=user_tile,
+            # Pin the true item count: inferring it from seen_pairs (its
+            # default) under-sizes the packed mask whenever the highest
+            # seen item id sits well below the table's row count, which
+            # would shape-mismatch the request path's bitmask unpack.
+            num_items=int(state.item_emb.shape[0]),
         )
         # Request-path caches: the packed seen-mask as a flat per-user-row
         # bitmap and the item table with its axis padded to the mask width

@@ -139,3 +139,24 @@ def test_recommender_with_emb_pad_state():
     # Cold-start aggregation flows at the padded width too.
     cold = rec_pad.recommend_cold([[1, 2, 3]], k=5)
     assert cold.shape == (1, 5)
+
+
+def test_recommender_sparse_seen_ids():
+    """Seen pairs whose max item id sits far below the item count must not
+    shrink the request path's mask width (the evaluator would otherwise
+    infer num_items from the pairs)."""
+    train, test = synthetic_click_dataset(
+        num_users=60, num_items=150, clicks_per_user=10, max_his=6, seed=2
+    )
+    cfg = CFConfig(emb_dim=16, num_negs=4, max_his=6, batch_size=512, seed=1)
+    eng = Engine(cfg, train, test)
+    eng.train_one_epoch()
+    # Only low-id items are "seen": max seen id 19 << 150 items.
+    seen = np.stack(
+        [np.arange(20, dtype=np.int32), np.arange(20, dtype=np.int32)], 1
+    )
+    rec = Recommender(eng.state, cfg, seen_pairs=seen)
+    ids = rec.recommend(list(range(20)), k=10)
+    assert ids.shape == (20, 10) and ids.max() < 150
+    for u in range(20):
+        assert u not in set(map(int, ids[u]))  # the (u, u) seen pair masked
