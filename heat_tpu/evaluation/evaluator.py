@@ -35,6 +35,40 @@ _TOPK_WINDOW = 128
 _TOPK_2PHASE_MIN_ITEMS = 4 * 1024
 
 
+def masked_topk(
+    sim: jnp.ndarray,
+    bits,
+    k: int,
+    *,
+    exact: bool = True,
+    recall_target: float = 0.95,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared packed-bitmask masking + top-k selection.
+
+    bits: (B, W) u32 packed mask (set bits score NEG_INF; ``sim`` must be
+    (B, W*32)), or None for pre-masked scores. Selection is the two-phase
+    exact top-k above _TOPK_2PHASE_MIN_ITEMS, ``lax.top_k`` below, or
+    ``approx_max_k`` when exact=False (behind an optimization_barrier so
+    the mask unpack is not recomputed per reduction pass — measured
+    slower without it). Used by the tiled evaluator, the shard_map
+    distributed top-k, and serving's request path — one place for the
+    mask/selection lessons.
+    """
+    if bits is not None:
+        rows, w = sim.shape[0], bits.shape[1]
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        simp = sim.reshape(rows, w, 32)
+        sim = jnp.where(
+            (bits[:, :, None] >> shifts) & 1 == 1, NEG_INF, simp
+        ).reshape(rows, w * 32)
+    if exact:
+        if sim.shape[1] >= _TOPK_2PHASE_MIN_ITEMS:
+            return exact_topk_2phase(sim, k)
+        return jax.lax.top_k(sim, k)
+    sim = jax.lax.optimization_barrier(sim)
+    return jax.lax.approx_max_k(sim, k, recall_target=recall_target)
+
+
 def exact_topk_2phase(
     sim: jnp.ndarray, k: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -128,7 +162,6 @@ def _topk_all_tiles(
     num_items = item_emb.shape[0]
     if valid_items is None:
         valid_items = num_items
-    shifts = jnp.arange(32, dtype=jnp.uint32)
 
     def body(carry, xs):
         u_tile, mu, mi, bits = xs
@@ -152,33 +185,13 @@ def _topk_all_tiles(
                 sim = jnp.where(
                     jnp.arange(num_items) < valid_items, sim, NEG_INF
                 )
-        else:
-            # Packed-bitmask path: one fused elementwise pass — unpack the
-            # static train-pair bitmask on the fly and select -inf, with no
-            # scatter, no materialized unpacked mask, and (because the item
-            # axis is padded to a 128 multiple up front, pad bits set) no
-            # concatenate-copy of the (T, I) score matrix.
-            t_rows, w = sim.shape[0], bits.shape[1]
-            simp = sim.reshape(t_rows, w, 32)
-            masked = jnp.where(
-                (bits[:, :, None] >> shifts) & 1 == 1, NEG_INF, simp
-            )
-            sim = masked.reshape(t_rows, w * 32)
-        if exact:
-            if num_items >= _TOPK_2PHASE_MIN_ITEMS:
-                out = exact_topk_2phase(sim, k)
-            else:
-                out = jax.lax.top_k(sim, k)
-        else:
-            # Barrier: keep the bitmask unpack from fusing into (and being
-            # recomputed by each pass of) approx_max_k's multi-pass
-            # reduction — without it the approx path measured SLOWER than
-            # the exact two-phase path (0.30 vs 0.28 s at AmazonBooks
-            # scale; with the barrier 0.21 s).
-            sim = jax.lax.optimization_barrier(sim)
-            out = jax.lax.approx_max_k(
-                sim, k, recall_target=recall_target
-            )
+        # Packed-bitmask masking (one fused unpack+select pass, no
+        # scatter, no (T, I) copy — the item axis is padded to a 128
+        # multiple up front with pad bits set) + selection live in
+        # masked_topk, shared with the sharded and serving paths.
+        out = masked_topk(
+            sim, bits, k, exact=exact, recall_target=recall_target
+        )
         return carry, out
 
     _, (scores, ids) = jax.lax.scan(
@@ -562,8 +575,6 @@ def _build_sharded_topk(mesh, k, exact, recall_target, user_chunk):
 
     from heat_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-
     def kernel(u_loc, i_loc_rows, bits_loc):
         i_loc = i_loc_rows.shape[0]  # items per model shard
         w_loc = i_loc // 32
@@ -597,20 +608,9 @@ def _build_sharded_topk(mesh, k, exact, recall_target, user_chunk):
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-            simp = sim.reshape(chunk, w_loc, 32)
-            masked = jnp.where(
-                (bc[:, :, None] >> shifts) & 1 == 1, NEG_INF, simp
-            ).reshape(chunk, i_loc)
-            if exact:
-                if i_loc >= _TOPK_2PHASE_MIN_ITEMS:
-                    s, ids = exact_topk_2phase(masked, k)
-                else:
-                    s, ids = jax.lax.top_k(masked, k)
-            else:
-                masked = jax.lax.optimization_barrier(masked)
-                s, ids = jax.lax.approx_max_k(
-                    masked, k, recall_target=recall_target
-                )
+            s, ids = masked_topk(
+                sim, bc, k, exact=exact, recall_target=recall_target
+            )
             return carry, (s, ids.astype(jnp.int32) + item_offset)
 
         _, (s, ids) = jax.lax.scan(body, None, (u_chunks, b_chunks))

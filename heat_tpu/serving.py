@@ -17,13 +17,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from heat_tpu.config import CFConfig
-from heat_tpu.evaluation.evaluator import (
-    NEG_INF,
-    _TOPK_2PHASE_MIN_ITEMS,
-    TiledEvaluator,
-    exact_topk_2phase,
+from heat_tpu.evaluation.evaluator import TiledEvaluator, masked_topk
+from heat_tpu.models.aggregator import (
+    aggregate_history,
+    history_mean_fused,
+    pool_history,
 )
-from heat_tpu.models.aggregator import aggregate_history, pool_history
 from heat_tpu.models.state import TrainState
 
 
@@ -40,16 +39,7 @@ def _topk_request(user_rows, item_pad, bits_rows, k: int):
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    b, w = sim.shape[0], bits_rows.shape[1]
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    simp = sim.reshape(b, w, 32)
-    sim = jnp.where(
-        (bits_rows[:, :, None] >> shifts) & 1 == 1, NEG_INF, simp
-    ).reshape(b, w * 32)
-    if sim.shape[1] >= _TOPK_2PHASE_MIN_ITEMS:
-        _, ids = exact_topk_2phase(sim, k)
-    else:
-        _, ids = jax.lax.top_k(sim, k)
+    _, ids = masked_topk(sim, bits_rows, k)
     return ids
 
 
@@ -109,6 +99,11 @@ class Recommender:
                 ]
             )
         self._item_pad = item_emb
+        # Device copies of the history arrays, uploaded ONCE (a per-call
+        # jnp.asarray of a numpy (U, H) table would re-upload ~21 MB per
+        # aggregated request at AmazonBooks scale).
+        self._his_dev = None if his_items is None else jnp.asarray(his_items)
+        self._masks_dev = None if his_masks is None else jnp.asarray(his_masks)
 
     def _user_embeddings(self, aggregate_users: bool):
         user_emb = self.state.user_emb
@@ -145,14 +140,17 @@ class Recommender:
         return ids
 
     def _user_rows(self, uids: jnp.ndarray, aggregate_users: bool):
-        """(B, d) embeddings for the requested users only (pooling, when
-        asked for, runs over just their histories — not the whole table)."""
+        """(B, d) embeddings for the requested users only. Pooling, when
+        asked for, runs over just their histories — not the whole table —
+        with the SAME numerics as the whole-table path
+        (``compute_user_pools``): the chunk-fused mean and f32 attention
+        logits, so a request's ranking matches ``recommend_all``'s."""
         u = self.state.user_emb[uids]
         if not aggregate_users:
             return u
-        if self.his_items is None or self.his_masks is None:
+        if self._his_dev is None or self._masks_dev is None:
             raise ValueError("aggregate_users requires history arrays")
-        his = jnp.asarray(self.his_items)
+        his = self._his_dev
         if his.ndim == 1:  # Engine's flat (U*H,) layout
             h = self.cfg.max_his
             hids = his[
@@ -160,19 +158,17 @@ class Recommender:
             ]
         else:
             hids = his[uids]
-        his_embs = self.state.item_emb[hids]
-        masks = jnp.asarray(self.his_masks)[uids]
-        pooled = pool_history(
-            his_embs,
-            masks,
-            u=u,
-            attn_q=(
-                None
-                if self.state.attn_q is None
-                else self.state.attn_q.astype(his_embs.dtype)
-            ),
-            kind=self.cfg.aggregator,
-        )
+        masks = self._masks_dev[uids]
+        if self.cfg.aggregator == "mean":
+            pooled = history_mean_fused(self.state.item_emb, hids, masks)
+        else:
+            pooled = pool_history(
+                self.state.item_emb[hids],
+                masks,
+                u=u,
+                attn_q=self.state.attn_q,  # f32 logits, like the pools path
+                kind=self.cfg.aggregator,
+            )
         return aggregate_history(u, pooled, self.state.w0, self.cfg.gamma)
 
     def recommend(
@@ -189,7 +185,18 @@ class Recommender:
         ``recommend_all`` when the seen-mask exceeds the packed-bitmap
         budget (huge item spaces use per-pair masking)."""
         uids_np = np.asarray(user_ids, np.int64)
-        if self._bits_flat is None or uids_np.size == 0:
+        if uids_np.size == 0:
+            return np.zeros((0, k), np.int32)
+        num_users = int(self.state.user_emb.shape[0])
+        if uids_np.min() < 0 or uids_np.max() >= num_users:
+            # jnp gathers silently CLAMP out-of-range ids (which would
+            # return another user's recommendations); match numpy-indexing
+            # behavior instead.
+            raise IndexError(
+                f"user ids must be in [0, {num_users}); got range "
+                f"[{uids_np.min()}, {uids_np.max()}]"
+            )
+        if self._bits_flat is None:
             ids = self.recommend_all(k, aggregate_users=aggregate_users)
             return ids[uids_np]
         uids = jnp.asarray(uids_np, jnp.int32)
@@ -224,8 +231,6 @@ class Recommender:
         against the item table; the provided history is masked out when
         ``exclude_history``.
         """
-        from heat_tpu.models.aggregator import pool_history
-
         n = len(histories)
         if n == 0:
             return np.zeros((0, k), np.int32)
@@ -285,13 +290,5 @@ class Recommender:
             sims = sims.at[rows, cols].set(
                 jnp.finfo(jnp.float32).min, mode="drop"
             )
-        from heat_tpu.evaluation.evaluator import (
-            _TOPK_2PHASE_MIN_ITEMS,
-            exact_topk_2phase,
-        )
-
-        if sims.shape[1] >= _TOPK_2PHASE_MIN_ITEMS:
-            _, top = exact_topk_2phase(sims, k)
-        else:
-            _, top = jax.lax.top_k(sims, k)
+        _, top = masked_topk(sims, None, k)
         return np.asarray(top)
