@@ -143,10 +143,7 @@ def exact_topk_2phase(
     return scores, ids
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "exact", "recall_target", "valid_items")
-)
-def _topk_all_tiles(
+def topk_all_tiles_impl(
     user_tiles: jnp.ndarray,  # (n_tiles, T, d)
     item_emb: jnp.ndarray,    # (I_pad, d) — item axis padded to 128 lanes
     mask_u: jnp.ndarray,      # (n_tiles, P) tile-local user rows (>=T drops)
@@ -158,6 +155,10 @@ def _topk_all_tiles(
     recall_target: float = 0.95,
     valid_items: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Traceable core of the tiled top-k (see module docstring): callers
+    inside larger jitted programs (the fused train→eval run program,
+    train/run.py) inline this; standalone use goes through the jitted
+    wrapper ``_topk_all_tiles``."""
     item_t = item_emb.astype(jnp.float32).T
     num_items = item_emb.shape[0]
     if valid_items is None:
@@ -198,6 +199,11 @@ def _topk_all_tiles(
         body, None, (user_tiles, mask_u, mask_i, mask_bits)
     )
     return scores, ids
+
+
+_topk_all_tiles = functools.partial(
+    jax.jit, static_argnames=("k", "exact", "recall_target", "valid_items")
+)(topk_all_tiles_impl)
 
 
 def _pairs_by_tile(

@@ -988,6 +988,146 @@ class Engine:
         self.epoch += n
         return [float(s) / max(1, cfg.train_size) for s in loss_sums]
 
+    def run_epochs_with_eval(
+        self,
+        epochs: int,
+        eval_interval: int,
+        metrics: Optional[Sequence[str]] = None,
+        user_tile: int = 512,
+        fused: bool = True,
+    ) -> tuple[list[float], list[dict]]:
+        """The reference's full deployment shape (cf/main.py:106-124):
+        ``epochs`` epochs with a ranking evaluation after epoch ``e``
+        whenever ``e > 0 and e % eval_interval == 0``.
+
+        On the single-process unsharded path with per-epoch shuffling and
+        no sub-epoch partitioning, the WHOLE run — every epoch scan and
+        every tiled top-k + on-device metric reduction — executes as ONE
+        device program (train/run.make_run_fn): only per-epoch loss
+        scalars and per-eval metric values reach the host. Key draws match
+        sequential ``train_one_epoch`` calls exactly, so the loss
+        trajectory is identical to the unfused shape (tested). Everything
+        else (mesh/multi-host, fixed streams, sub-epochs, scatter-mask
+        eval geometries, ``fused=False``) falls back to
+        ``train_epochs`` segments + ``evaluate`` at each boundary.
+
+        Returns (per-epoch mean losses, evals) where evals entries are
+        {"epoch": e, metric: value, ...} in schedule order.
+        """
+        from heat_tpu.train.run import make_run_fn, reference_schedule
+
+        cfg = self.cfg
+        metrics = list(metrics if metrics is not None else cfg.metrics)
+        segments = reference_schedule(epochs, eval_interval)
+        eligible = (
+            fused
+            and not self._multiprocess
+            and self.mesh is None
+            and cfg.shuffle_mode == "epoch"
+            and cfg.num_subepochs <= 1
+            and self.test_data is not None
+            and int(self.pairs.shape[0]) > 0
+        )
+        if eligible:
+            self._ensure_evaluator(user_tile)
+            eligible = self._evaluator.mask_bits is not None
+        if not eligible:
+            losses: list[float] = []
+            evals: list[dict] = []
+            done = 0
+            for seg, do_eval in segments:
+                losses.extend(self.train_epochs(seg))
+                done += seg
+                if do_eval:
+                    evals.append(
+                        {
+                            "epoch": done - 1,
+                            **self.evaluate(metrics, user_tile=user_tile),
+                        }
+                    )
+            return losses, evals
+
+        specs = tuple(parse_metric(m) for m in metrics)
+        max_k = max(k for _, k in specs)
+        ev = self._evaluator
+        fn_key = (segments, specs, max_k, user_tile)
+        cached = getattr(self, "_run_fn_cache", None)
+        if cached is None or cached[0] != fn_key:
+            fn = make_run_fn(
+                cfg,
+                segments,
+                specs,
+                max_k,
+                user_tile,
+                ev.num_tiles,
+                ev._pad_items,
+            )
+            self._run_fn_cache = (fn_key, fn)
+        fn = self._run_fn_cache[1]
+        lrs = jnp.asarray(
+            [
+                scheduled_lr(
+                    cfg.l_r, self.epoch + i, cfg.milestones, cfg.lr_gamma
+                )
+                for i in range(epochs)
+            ],
+            jnp.float32,
+        )
+        shuffle_keys, epoch_keys = [], []
+        for _ in range(epochs):
+            shuffle_keys.append(self._next_key())
+            epoch_keys.append(self._next_key())
+        with self.timer.phase("f_b"):
+            self.state, self.sampler_state, loss_sums, mvals = fn(
+                self.state,
+                self.sampler_state,
+                jnp.stack(shuffle_keys),
+                jnp.stack(epoch_keys),
+                lrs,
+                self.pairs,
+                self.his_items,
+                self.his_masks,
+                ev.mask_bits,
+                *self._truth_dev,
+            )
+            loss_sums = np.asarray(loss_sums)
+            mvals = np.asarray(mvals)
+        self.epoch += epochs
+        losses = [float(s) / max(1, cfg.train_size) for s in loss_sums]
+        evals = []
+        i = 0
+        done = 0
+        for seg, do_eval in segments:
+            done += seg
+            if do_eval:
+                evals.append(
+                    {
+                        "epoch": done - 1,
+                        **{
+                            m: float(v)
+                            for m, v in zip(metrics, mvals[i])
+                        },
+                    }
+                )
+                i += 1
+        return losses, evals
+
+    def _ensure_evaluator(self, user_tile: int) -> None:
+        """Build (or rebuild for a new tile width) the cached
+        TiledEvaluator and device-resident truth tensors."""
+        if self._evaluator is None or self._evaluator.user_tile != user_tile:
+            self._evaluator = TiledEvaluator(
+                self.train_data.pairs,
+                self.cfg.num_users,
+                user_tile=user_tile,
+                num_items=self.cfg.num_items,
+            )
+            # Truth tensors ride on device alongside the mask cache so
+            # metric evaluation never downloads the (U, k) id matrix.
+            self._truth_dev = jax.tree.map(
+                jnp.asarray, pad_truth(self.test_data.user_items)
+            )
+
     # ------------------------------------------------------------------
     def evaluate(
         self,
@@ -1033,21 +1173,7 @@ class Engine:
                 self.cfg.gamma,
             )
         with self.timer.phase("eval"):
-            if (
-                self._evaluator is None
-                or self._evaluator.user_tile != user_tile
-            ):
-                self._evaluator = TiledEvaluator(
-                    self.train_data.pairs,
-                    self.cfg.num_users,
-                    user_tile=user_tile,
-                    num_items=self.cfg.num_items,
-                )
-                # Truth tensors ride on device alongside the mask cache so
-                # metric evaluation never downloads the (U, k) id matrix.
-                self._truth_dev = jax.tree.map(
-                    jnp.asarray, pad_truth(self.test_data.user_items)
-                )
+            self._ensure_evaluator(user_tile)
             _, top_ids = self._evaluator.topk(
                 user_emb,
                 self.state.item_emb[: self.cfg.num_items],

@@ -582,3 +582,60 @@ def test_subepoch_fused_matches_per_bucket(data):
         np.asarray(e_seq.state.item_emb),
         rtol=1e-5, atol=1e-7,
     )
+
+
+def test_run_epochs_with_eval_fused_matches_unfused(data):
+    """The fused full-run program (train/run.py: every epoch scan and
+    every tiled-top-k + metric reduction in ONE device program) must
+    reproduce the unfused shape — train_epochs segments + evaluate at
+    each reference-schedule boundary (cf/main.py:106-124) — exactly:
+    same per-epoch losses (same key draws) and same metric values."""
+    train, test = data
+    e_fused = Engine(small_cfg(), train, test)
+    losses_f, evals_f = e_fused.run_epochs_with_eval(
+        5, 2, metrics=["Recall(k=20)", "NDCG(k=20)"]
+    )
+    e_seq = Engine(small_cfg(), train, test)
+    losses_s, evals_s = e_seq.run_epochs_with_eval(
+        5, 2, metrics=["Recall(k=20)", "NDCG(k=20)"], fused=False
+    )
+    assert len(losses_f) == len(losses_s) == 5
+    np.testing.assert_allclose(losses_f, losses_s, rtol=1e-5)
+    # Reference schedule: evals after epochs 2 and 4 (0-based).
+    assert [ev["epoch"] for ev in evals_f] == [2, 4]
+    assert [ev["epoch"] for ev in evals_s] == [2, 4]
+    for ef, es in zip(evals_f, evals_s):
+        for m in ("Recall(k=20)", "NDCG(k=20)"):
+            np.testing.assert_allclose(ef[m], es[m], rtol=1e-5)
+    # Engines end in the same state (epoch counter and tables).
+    assert e_fused.epoch == e_seq.epoch == 5
+    np.testing.assert_allclose(
+        np.asarray(e_fused.state.user_emb),
+        np.asarray(e_seq.state.user_emb),
+        rtol=1e-5, atol=1e-7,
+    )
+
+
+def test_run_epochs_with_eval_fused_tile_headline_config(data):
+    """Fused full run under the headline bench config (tile sampler +
+    cached pools + direct updates): losses finite and decreasing-ish,
+    metrics sane, and the fused/unfused trajectories agree."""
+    train, test = data
+    kw = dict(
+        neg_sampler=1, tile_size=64, refresh_interval=256,
+        his_refresh="subepoch", update_mode="direct",
+    )
+    e_fused = Engine(small_cfg(**kw), train, test)
+    losses_f, evals_f = e_fused.run_epochs_with_eval(
+        4, 2, metrics=["Recall(k=20)"]
+    )
+    e_seq = Engine(small_cfg(**kw), train, test)
+    losses_s, evals_s = e_seq.run_epochs_with_eval(
+        4, 2, metrics=["Recall(k=20)"], fused=False
+    )
+    np.testing.assert_allclose(losses_f, losses_s, rtol=1e-5)
+    assert [ev["epoch"] for ev in evals_f] == [2]
+    np.testing.assert_allclose(
+        evals_f[0]["Recall(k=20)"], evals_s[0]["Recall(k=20)"], rtol=1e-5
+    )
+    assert evals_f[0]["Recall(k=20)"] > 0.04  # beats random at 300x500
