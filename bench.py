@@ -497,6 +497,18 @@ def main() -> None:
     zipf_exact_s, _ = time_epochs(
         "step", zipf_grouped, reps=2, fused=3, shuffle_mode="none"
     )
+    # Sub-epoch mode at the REFERENCE'S DEFAULT combination (cf_config.py:7
+    # pairs tile_size with num_subepoches): tile sampler + 2 sub-epochs,
+    # one fused device program per epoch. Round 4 made this usable at
+    # scale: shape-static padded bucket packing (bucket sizes jitter per
+    # epoch; each fresh shape was a ~29 s remote recompile — 68.8 s/epoch)
+    # + the whole-tile fast path under partition-complement constraints
+    # (tile remapped through the pool) -> 0.88 s measured.
+    subep_tile_s, _ = time_epochs(
+        "subepoch", dataset, reps=2, neg_sampler=1, tile_size=512,
+        refresh_interval=8192, num_subepochs=2, compute_dtype="bfloat16",
+        param_dtype="bfloat16", update_mode="direct",
+    )
     # Yelp18 dataset shape (VERDICT r3 item 6): the third reference
     # benchmark geometry — 31.7k x 38k, d=128, 64 negs, clip 0.1
     # (benchmarks/Yelp18/config0.yaml; paper section 5.1: 1.56M clicks).
@@ -560,6 +572,10 @@ def main() -> None:
         "throughput65k_s": round(fast65k_s, 4),
         "throughput65k_vs_baseline": round(BASELINE_EPOCH_S / fast65k_s, 2),
         "heavy_d256_negs64_s": round(heavy_s, 4),
+        "subepoch2_tile_s": round(subep_tile_s, 4),
+        "subepoch2_tile_vs_baseline": round(
+            BASELINE_EPOCH_S / subep_tile_s, 2
+        ),
         "yelp_shape_s": round(yelp_s, 4),
         "yelp_shape_interactions_per_sec": round(1_561_406 / yelp_s),
         # Reference run shape: 5 epochs + evals after epochs 2 and 4

@@ -100,6 +100,67 @@ def _permute_batches(
     return su.reshape(num_batches, batch), sp.reshape(num_batches, batch), weight
 
 
+@functools.partial(jax.jit, static_argnames=("num_batches", "batch"))
+def _permute_batches_padded(
+    key: jax.Array,
+    pairs_padded: jnp.ndarray,
+    n: jnp.ndarray,
+    num_batches: int,
+    batch: int,
+):
+    """Shape-static variant of ``_permute_batches`` for sub-epoch buckets.
+
+    Bucket sizes vary EVERY epoch (the item partition is redrawn), and a
+    jit keyed on the concrete (n, 2) input shape recompiles per epoch —
+    measured ~29 s per shape through the remote-compile tunnel, which
+    dominated sub-epoch epochs 25x over the actual compute (round 4).
+    Here the bucket is host-padded to a cached static row cap
+    (num_batches * batch) and the TRUE row count ``n`` rides as a traced
+    scalar: pad rows get sort key 0xFFFFFFFF so the (stable) sort sends
+    them to the end — the first ``n`` shuffled rows are bit-identical to
+    ``_permute_batches`` on the unpadded bucket (same counter-mode bit
+    stream prefix, same stable order) — and ``weight`` masks them out.
+    """
+    total = num_batches * batch
+    keys = jax.random.bits(key, (total,))
+    real = jnp.arange(total, dtype=jnp.int32) < n
+    keys = jnp.where(real, keys, jnp.uint32(0xFFFFFFFF))
+    _, su, sp = jax.lax.sort(
+        (keys, pairs_padded[:, 0], pairs_padded[:, 1]),
+        dimension=0,
+        num_keys=1,
+    )
+    weight = real.astype(jnp.float32).reshape(num_batches, batch)
+    return (
+        su.reshape(num_batches, batch),
+        sp.reshape(num_batches, batch),
+        weight,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_batches", "batch"))
+def _pack_batches_padded(
+    pairs_padded: jnp.ndarray,
+    n: jnp.ndarray,
+    num_batches: int,
+    batch: int,
+):
+    """Shape-static ``_pack_batches`` (shuffle_mode "none") for sub-epoch
+    buckets: parse order preserved, pad rows (already at the tail) masked
+    by the traced true count ``n``."""
+    total = num_batches * batch
+    weight = (
+        (jnp.arange(total, dtype=jnp.int32) < n)
+        .astype(jnp.float32)
+        .reshape(num_batches, batch)
+    )
+    return (
+        pairs_padded[:, 0].reshape(num_batches, batch),
+        pairs_padded[:, 1].reshape(num_batches, batch),
+        weight,
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _pack_batches(pairs: jnp.ndarray, num_batches: int, batch: int):
     """Pack pairs into (num_batches, batch) in parse order, no shuffle
@@ -369,6 +430,38 @@ class Engine:
             return out
         return _permute_batches(key, pairs, num_batches, batch)
 
+    def _subepoch_geometry(self, ns: list[int]) -> tuple[int, int]:
+        """Static (batch, num_batches) for sub-epoch bucket packing —
+        cached and GROW-ONLY, so the per-epoch jitter in bucket sizes
+        never changes a compiled shape. The cap carries one extra batch
+        plus ~6% slack over the first epoch's need; it regrows (one
+        recompile) only if a later partition overflows it."""
+        cfg = self.cfg
+        batch = min(cfg.batch_size, max(1, max(ns)))
+        batch = -(-batch // self._data_axis_size) * self._data_axis_size
+        need_nb = max([-(-n // batch) for n in ns if n > 0] or [1])
+        cached = getattr(self, "_subep_geom", None)
+        if cached is not None and cached[0] == batch and cached[1] >= need_nb:
+            return cached
+        self._subep_geom = (batch, need_nb + 1 + need_nb // 16)
+        return self._subep_geom
+
+    def _shuffle_or_pack_padded(self, pairs_padded, n: int, num_batches: int,
+                                batch: int):
+        """``_shuffle_or_pack`` over a host-padded bucket (shape-static;
+        see ``_permute_batches_padded``). Same key-draw discipline: one
+        key for any shuffling mode, none for "none". ("once" draws its
+        key but skips the stream cache — sub-epoch buckets are redrawn
+        every epoch, so a cache could never hit.)"""
+        if self.cfg.shuffle_mode == "none":
+            return _pack_batches_padded(
+                pairs_padded, jnp.asarray(n, jnp.int32), num_batches, batch
+            )
+        key = self._next_key()
+        return _permute_batches_padded(
+            key, pairs_padded, jnp.asarray(n, jnp.int32), num_batches, batch
+        )
+
     def _make_batches(self, pairs: jnp.ndarray):
         """Shuffle + pack local pairs; assemble the (global) batch arrays."""
         cfg = self.cfg
@@ -625,18 +718,20 @@ class Engine:
                         )
                     ].astype(np.int32)
                 )
-            if (
-                cfg.neg_sampler == 0
-                and cfg.optimizer == "sgd"
-                and self._fuse_subepochs
-            ):
+            if self._fuse_subepochs:
                 # ONE device program for all S sub-epochs (grad zeroing
-                # at sub-epoch boundaries happens inside it).
+                # at sub-epoch boundaries happens inside it). Round 4
+                # extended this to the tile sampler and moment
+                # optimizers: train_step counts only REAL samples toward
+                # the tile-refresh cadence and the optimizer step, and
+                # gates the dense w0/attn_q moment updates, so the fused
+                # program's weight-0 padding batches are true no-ops
+                # (the reference's defaults COMBINE tile and sub-epochs,
+                # cf_config.py:7: tile_size=1024, num_subepoches=2).
                 total_loss = self._run_subepochs_fused(buckets, complements)
             else:
-                # Tile sampler / moment optimizers: per-bucket dispatch
-                # (the fused program's weight-0 padding batches would
-                # shift the tile-refresh cadence / Adam step counter).
+                # Per-bucket dispatch (kept as the equivalence oracle;
+                # tests flip _fuse_subepochs off to compare).
                 for bucket, complement in zip(buckets, complements):
                     total_loss += self._run_pairs(
                         jnp.asarray(bucket), jnp.asarray(complement)
@@ -697,14 +792,18 @@ class Engine:
                     for i in range(3)
                 )
             else:
+                # SHAPE-STATIC packing: bucket sizes jitter every epoch
+                # (the item partition is redrawn), and any new concrete
+                # shape recompiles its program through the remote-compile
+                # tunnel (~29 s/shape measured — it dominated sub-epoch
+                # epochs 25x over compute until round 4). Buckets are
+                # host-padded to a cached grow-only (nb, batch) cap; the
+                # true row count rides as a traced scalar and pad rows
+                # are weight-0 (sampler/step no-ops via weight-aware
+                # accounting in train_step).
                 ns = [int(b.shape[0]) for b in buckets]
-                batch = min(cfg.batch_size, max(1, max(ns)))
-                batch = (
-                    -(-batch // self._data_axis_size) * self._data_axis_size
-                )
-                nb = max(
-                    [-(-n // batch) for n in ns if n > 0] or [1]
-                )
+                batch, nb = self._subepoch_geometry(ns)
+                cap_rows = nb * batch
                 for b, n in zip(buckets, ns):
                     if n == 0:
                         arrs.append(
@@ -716,8 +815,12 @@ class Engine:
                         )
                         keys.append(jax.random.key(0))  # dummy, weight 0
                         continue
+                    bpad = np.zeros((cap_rows, 2), np.int32)
+                    bpad[:n] = b
                     arrs.append(
-                        self._shuffle_or_pack(jnp.asarray(b), nb, batch)
+                        self._shuffle_or_pack_padded(
+                            jnp.asarray(bpad), n, nb, batch
+                        )
                     )
                     keys.append(self._next_key())
                 users = jnp.stack([a[0] for a in arrs])

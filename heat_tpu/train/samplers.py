@@ -153,22 +153,35 @@ def _tile_negatives(
     num_items: int,
     tile_size: int,
     refresh_interval: int,
+    real=None,
 ) -> tuple[jnp.ndarray, SamplerState]:
     """Tile sampler for one batch of ``batch`` samples.
 
     The reference refreshes when iterations % refresh_interval == 0, once
     per sample (random_tile_negative_sampler.cpp:33-45). A batch advances
-    the counter by ``batch`` samples; the tile is refreshed when the batch
-    crosses a refresh boundary (at most one refresh per batch — exact when
-    batch <= refresh_interval, which configs satisfy: refresh 8192 >= batch).
+    the counter by its REAL (weight > 0) sample count — the reference has
+    no padding samples, so only real rows count toward the refresh cadence
+    (``real``; defaults to the full batch width) — and the tile is
+    refreshed when those samples cross a refresh boundary (at most one
+    refresh per batch — exact when batch <= refresh_interval, which
+    configs satisfy: refresh 8192 >= batch). An all-padding batch (the
+    fused sub-epoch program pads ragged buckets with whole weight-0
+    batches) is a sampler no-op: counter unchanged, no refresh — which is
+    what makes the fused program's tile cadence identical to the
+    per-bucket dispatch path's.
     """
     k_refresh, k_draw = jax.random.split(key)
     it = state.iterations
-    # Refresh iff some sample j in [it, it+batch) satisfies
+    adv = (
+        jnp.asarray(batch, jnp.int32)
+        if real is None
+        else real.astype(jnp.int32)
+    )
+    # Refresh iff some sample j in [it, it+adv) satisfies
     # j % refresh_interval == 0 (the reference's per-sample condition).
     phase = it % refresh_interval
-    needs_refresh = jnp.logical_or(
-        phase == 0, phase + batch > refresh_interval
+    needs_refresh = (adv > 0) & jnp.logical_or(
+        phase == 0, phase + adv > refresh_interval
     )
     fresh = jax.random.randint(
         k_refresh, (tile_size,), 0, num_items, dtype=jnp.int32
@@ -177,7 +190,7 @@ def _tile_negatives(
     idx = jax.random.randint(
         k_draw, (batch, num_negs), 0, tile_size, dtype=jnp.int32
     )
-    new_state = SamplerState(tile=tile, iterations=it + batch)
+    new_state = SamplerState(tile=tile, iterations=it + adv)
     return NegSample(ids=tile[idx], tile=tile, tile_idx=idx), new_state
 
 
@@ -186,12 +199,16 @@ def sample_negatives(
     state: SamplerState,
     pos_ids: jnp.ndarray,
     cfg: CFConfig,
+    real=None,
 ) -> tuple[NegSample, SamplerState]:
     """Draw (B, num_negs) negatives for one batch.
 
     Tile mode follows the reference tile sampler's ``sampling()`` (no
     positive-avoidance — random_tile_negative_sampler.cpp:31-45); uniform
     mode follows ``ignore_pos_sampling`` when cfg.ignore_pos.
+    ``real``: optional traced count of REAL (weight > 0) samples in the
+    batch — the iteration-counter advance and tile-refresh cadence count
+    only real samples (see ``_tile_negatives``).
     """
     batch = pos_ids.shape[0]
     if cfg.neg_sampler == NEG_SAMPLER_TILE:
@@ -203,11 +220,17 @@ def sample_negatives(
             cfg.num_items,
             cfg.tile_size,
             cfg.refresh_interval,
+            real=real,
         )
     negs = _uniform_negatives(
         key, batch, cfg.num_negs, cfg.num_items, pos_ids, cfg.ignore_pos
     )
+    adv = (
+        jnp.asarray(batch, jnp.int32)
+        if real is None
+        else real.astype(jnp.int32)
+    )
     return (
         NegSample(ids=negs, tile=None, tile_idx=None),
-        state.replace(iterations=state.iterations + batch),
+        state.replace(iterations=state.iterations + adv),
     )

@@ -122,26 +122,35 @@ def train_step(
       precomputes these host-side per epoch (shuffle_mode == "none").
     """
     users, pos, weight = batch
+    # Real (non-padding) sample count: drives the sampler's iteration
+    # counter / tile-refresh cadence and the optimizer step counter, so
+    # weight-0 padding batches (fused sub-epoch programs pad ragged
+    # buckets with whole batches) are true no-ops for both.
+    real = jnp.sum(weight).astype(jnp.int32)
     # jax.named_scope labels below follow the reference's 15-phase
     # time_map taxonomy (thread_buffer.hpp:32-46) so profiler traces
     # (--profile-dir) map onto Engine::performance_breakdown's tree
     # (engine.cpp:22-65). Negative sampling is stamped "data" like the
     # reference's sample-read+sampling block (engine.cpp:326-335).
     with jax.named_scope("data"):
-        sample, sampler_state = sample_negatives(key, sampler_state, pos, cfg)
+        sample, sampler_state = sample_negatives(
+            key, sampler_state, pos, cfg, real=real
+        )
     negs = sample.ids
     # The tile fast path keeps negative gathers/scatters inside the
     # T-row tile (HEAT's cache-tiling insight mapped to a small working
-    # set + MXU-friendly segment-sum). Constrained sampling (sub-epoch
-    # partitioning) remaps ids arbitrarily, so it uses the generic path.
-    # (Accum mode treats every updated id as "touched", so folding grads
-    # onto all T tile rows would wrongly re-apply accumulated rows with
-    # zero fresh gradient — tile fast path is batch-mode only.)
-    tiled = (
-        sample.tile is not None
-        and neg_candidates is None
-        and state.item_gacc is None
-    )
+    # set + MXU-friendly segment-sum). It composes with constrained
+    # sampling (sub-epoch partitioning) by remapping the TILE through the
+    # complement pool — elementwise identical ids to remapping the draws
+    # (pool[tile % size][idx] == pool[tile[idx] % size]) at T remap
+    # gathers instead of B*K, and the whole-tile scoring/update survives
+    # (round 4: sub-epoch tile epochs 2.90 -> 2.12 s at AmazonBooks
+    # scale). (Accum mode treats every updated id as "touched", so
+    # folding grads onto all T tile rows would wrongly re-apply
+    # accumulated rows with zero fresh gradient — tile fast path is
+    # batch-mode only.)
+    tiled = sample.tile is not None and state.item_gacc is None
+    tile_ids = sample.tile
     if neg_candidates is not None:
         # Constrained sampling: reinterpret draws as indices into the pool.
         pool_size = (
@@ -149,7 +158,10 @@ def train_step(
             if neg_candidates_size is None
             else neg_candidates_size
         )
-        negs = neg_candidates[negs % pool_size]
+        if tiled:
+            tile_ids = neg_candidates[sample.tile % pool_size]
+        else:
+            negs = neg_candidates[negs % pool_size]
 
     user_emb, item_emb, w0 = state.user_emb, state.item_emb, state.w0
     compute = jnp.dtype(cfg.compute_dtype)
@@ -164,7 +176,7 @@ def train_step(
         # (B, K)-indexed gathers (ids and rows) and the (B*K)-row gradient
         # fold — the tile gradient is the transposed score matmul.
         with jax.named_scope("read_emb"):
-            n_rows = item_emb[sample.tile].astype(compute)  # (T, d)
+            n_rows = item_emb[tile_ids].astype(compute)  # (T, d)
         # Draw multiplicities by fused compare-reduce over the tile axis —
         # measured ~6x cheaper than a (B*K)-element scatter-add on v5e
         # (TPU scatters pay per index; this is one VPU pass).
@@ -325,7 +337,9 @@ def train_step(
     # persistent grad rows, not fuse).
     l2 = cfg.l2 if cfg.l2_enabled else 0.0
     opt_slots = state.opt_slots
-    step1 = state.step + 1  # 1-based step for Adam bias correction
+    # 1-based step for Adam bias correction; an all-padding batch is not
+    # an optimizer step (it does not exist in the unfused dispatch shape).
+    step1 = state.step + (real > 0).astype(state.step.dtype)
     if state.user_gacc is not None:
         user_emb = user_emb.at[users_w].set(
             u_agg.astype(user_emb.dtype), mode="drop"
@@ -386,7 +400,7 @@ def train_step(
         # g_n already IS the per-tile-row gradient (T, d): autodiff of the
         # whole-tile matmul sums the sampled draws' contributions, so the
         # table update touches B + T rows instead of B * (1 + K).
-        item_ids = jnp.concatenate([pos_w, sample.tile])
+        item_ids = jnp.concatenate([pos_w, tile_ids])
         item_grads = jnp.concatenate(
             [g_p.astype(jnp.float32), g_n.astype(jnp.float32)]
         )
@@ -457,7 +471,25 @@ def train_step(
                     - state.lr * g_q.astype(attn_q.dtype) / cfg.aggr_minibatch
                 )
     else:
-        w0, opt_slots = dense_opt_update(
+        # Dense (replicated) moment updates are NOT no-ops at zero
+        # gradient (Adam decays moments; Adagrad divides by sqrt(v)), so
+        # gate them on the batch containing real samples — an all-padding
+        # batch must leave w0/attn_q and their slots untouched, exactly
+        # like the unfused dispatch shape where it does not exist. The
+        # row-sparse table updates need no gate (padding ids drop).
+        has_real = real > 0
+
+        def _gated(name, param, new_param, new_slots, slots):
+            slots = dict(slots)
+            for suf in ("_m", "_v"):
+                kname = name + suf
+                if kname in new_slots:
+                    slots[kname] = jnp.where(
+                        has_real, new_slots[kname], slots[kname]
+                    )
+            return jnp.where(has_real, new_param, param), slots
+
+        w0_new, slots_new = dense_opt_update(
             w0,
             g_w0 / cfg.aggr_minibatch,
             opt_slots,
@@ -468,8 +500,9 @@ def train_step(
             beta2=cfg.adam_beta2,
             eps=cfg.opt_eps,
         )
+        w0, opt_slots = _gated("w0", w0, w0_new, slots_new, opt_slots)
         if g_q is not None:
-            attn_q, opt_slots = dense_opt_update(
+            q_new, slots_new = dense_opt_update(
                 attn_q,
                 g_q / cfg.aggr_minibatch,
                 opt_slots,
@@ -479,6 +512,9 @@ def train_step(
                 beta1=cfg.adam_beta1,
                 beta2=cfg.adam_beta2,
                 eps=cfg.opt_eps,
+            )
+            attn_q, opt_slots = _gated(
+                "attn_q", attn_q, q_new, slots_new, opt_slots
             )
 
     state = state.replace(

@@ -147,6 +147,16 @@ def build_table(r: dict) -> str:
         ),
     )
     add(
+        "sub-epoch mode at the reference's DEFAULT combination (tile "
+        "sampler + `num_subepochs: 2`, partition-complement negatives — "
+        "cf_config.py:7 pairs them), one fused device program per epoch",
+        "~245 s",
+        None
+        if s("subepoch2_tile_s") is None
+        else f"**{s('subepoch2_tile_s'):.3f} s "
+        f"({x('subepoch2_tile_vs_baseline')})**",
+    )
+    add(
         "same, all-f32 fast mode",
         "~245 s",
         None

@@ -639,3 +639,64 @@ def test_run_epochs_with_eval_fused_tile_headline_config(data):
         evals_f[0]["Recall(k=20)"], evals_s[0]["Recall(k=20)"], rtol=1e-5
     )
     assert evals_f[0]["Recall(k=20)"] > 0.04  # beats random at 300x500
+
+
+def test_subepoch_fused_matches_per_bucket_tile_sampler(data):
+    """Round 4: the fused sub-epoch program now covers the TILE sampler
+    (the reference's defaults combine tile_size with num_subepoches,
+    cf_config.py:7). Weight-aware iteration accounting makes the padded
+    batches sampler no-ops, so fused == per-bucket exactly (buckets
+    exceed batch_size, so packed widths agree), including the tile state
+    and refresh cadence."""
+    train, test = data
+    kw = dict(
+        num_subepochs=3, batch_size=64, neg_sampler=1, tile_size=32,
+        refresh_interval=256,
+    )
+    e_fused = Engine(small_cfg(**kw), train, test, seed=5)
+    fused = [e_fused.train_one_epoch() for _ in range(2)]
+    e_seq = Engine(small_cfg(**kw), train, test, seed=5)
+    e_seq._fuse_subepochs = False
+    seq = [e_seq.train_one_epoch() for _ in range(2)]
+    np.testing.assert_allclose(fused, seq, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(e_fused.state.user_emb),
+        np.asarray(e_seq.state.user_emb),
+        rtol=1e-5, atol=1e-7,
+    )
+    # Sampler state must agree exactly: same tile, same REAL-sample count
+    # (padding batches contributed nothing).
+    np.testing.assert_array_equal(
+        np.asarray(e_fused.sampler_state.tile),
+        np.asarray(e_seq.sampler_state.tile),
+    )
+    assert int(e_fused.sampler_state.iterations) == int(
+        e_seq.sampler_state.iterations
+    ) == 2 * train.train_size
+
+
+def test_subepoch_fused_matches_per_bucket_adam(data):
+    """Round 4: fused sub-epochs with a moment optimizer — the optimizer
+    step counter advances only on batches with real samples and the dense
+    w0 moment update is gated, so the fused program matches per-bucket
+    dispatch (which never sees the padding batches)."""
+    train, test = data
+    kw = dict(num_subepochs=3, batch_size=64, optimizer="adam", l_r=0.005)
+    e_fused = Engine(small_cfg(**kw), train, test, seed=5)
+    fused = [e_fused.train_one_epoch() for _ in range(2)]
+    e_seq = Engine(small_cfg(**kw), train, test, seed=5)
+    e_seq._fuse_subepochs = False
+    seq = [e_seq.train_one_epoch() for _ in range(2)]
+    np.testing.assert_allclose(fused, seq, rtol=1e-6)
+    for attr in ("user_emb", "item_emb", "w0"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(e_fused.state, attr)),
+            np.asarray(getattr(e_seq.state, attr)),
+            rtol=1e-5, atol=1e-7, err_msg=attr,
+        )
+    assert int(e_fused.state.step) == int(e_seq.state.step)
+    np.testing.assert_allclose(
+        np.asarray(e_fused.state.opt_slots["w0_v"]),
+        np.asarray(e_seq.state.opt_slots["w0_v"]),
+        rtol=1e-5, atol=1e-9,
+    )

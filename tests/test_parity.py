@@ -69,7 +69,7 @@ def run_batched(cfg, state, users, pos, negs, his_items, his_masks):
 
     orig = ts.sample_negatives
     try:
-        ts.sample_negatives = lambda key, st, p, c: (
+        ts.sample_negatives = lambda key, st, p, c, real=None: (
             NegSample(jnp.asarray(negs), None, None), st)
         sstate = SamplerState(
             tile=jnp.zeros((1,), jnp.int32), iterations=jnp.asarray(0)
@@ -212,7 +212,7 @@ def test_padding_rows_are_inert():
     all_negs = np.concatenate([negs, pad_negs])
     orig = ts.sample_negatives
     try:
-        ts.sample_negatives = lambda key, st, p, c: (
+        ts.sample_negatives = lambda key, st, p, c, real=None: (
             NegSample(jnp.asarray(all_negs), None, None), st)
         sstate = SamplerState(
             tile=jnp.zeros((1,), jnp.int32), iterations=jnp.asarray(0)

@@ -106,3 +106,45 @@ def test_derive_tile_params_auto_tuning():
     assert eng.cfg.tile_size > 0  # auto-resolved before sampler init
     loss = eng.train_one_epoch()
     assert np.isfinite(loss)
+
+
+def test_constrained_tile_sampling_touches_only_pool_rows():
+    """Sub-epoch partition-complement constraint with the TILE sampler
+    (round 4: the whole-tile fast path now composes with constraints by
+    remapping the tile through the pool): the item-table update may touch
+    only positive rows and pool member rows — never a partitioned-out
+    item."""
+    import dataclasses
+
+    from heat_tpu.config import CFConfig as C
+    from heat_tpu.models.state import init_train_state
+    from heat_tpu.train.train_step import Batch, train_step
+
+    cfg = C(
+        num_users=40, num_items=60, emb_dim=8, num_negs=4, max_his=5,
+        batch_size=16, l_r=0.1, clip_val=1.0, neg_sampler=NEG_SAMPLER_TILE,
+        tile_size=8, refresh_interval=16, his_refresh="subepoch",
+    )
+    key = jax.random.key(0)
+    state = init_train_state(cfg, key)
+    sstate = init_sampler_state(cfg, key)
+    pool = jnp.asarray(np.arange(30, 55, dtype=np.int32))  # complement
+    users = jnp.arange(16, dtype=jnp.int32)
+    pos = jnp.asarray(np.arange(16, dtype=np.int32))  # rows 0..15
+    batch = Batch(users, pos, jnp.ones((16,), jnp.float32))
+    his = jnp.zeros((40, 5), jnp.int32)
+    masks = jnp.zeros((40,), jnp.int32)
+    means = jnp.zeros((40, 8))
+    new_state, _, _ = train_step(
+        state, sstate, jax.random.key(3), batch, his, masks, cfg,
+        neg_candidates=pool, user_means=means,
+        neg_candidates_size=jnp.asarray(20, jnp.int32),  # valid prefix
+    )
+    changed = np.where(
+        np.any(np.asarray(new_state.item_emb) != np.asarray(state.item_emb),
+               axis=1)
+    )[0]
+    allowed = set(range(16)) | set(np.asarray(pool[:20]).tolist())
+    assert set(changed.tolist()) <= allowed, (
+        sorted(set(changed.tolist()) - allowed)
+    )

@@ -183,7 +183,7 @@ def test_multi_epoch_trajectory_matches_oracle_exactly():
     neg_table = jnp.asarray(neg_draws)
     orig = ts.sample_negatives
 
-    def pinned(key, sstate, pos_ids, _cfg):
+    def pinned(key, sstate, pos_ids, _cfg, real=None):
         b = pos_ids.shape[0]
         idx = sstate.iterations + jnp.arange(b, dtype=jnp.int32)
         return (
@@ -323,7 +323,7 @@ def test_overlapping_blocks_trajectory_matches_oracle():
     neg_table = jnp.asarray(neg_draws)
     orig = ts.sample_negatives
 
-    def pinned(key, sstate, pos_ids, _cfg):
+    def pinned(key, sstate, pos_ids, _cfg, real=None):
         b = pos_ids.shape[0]
         idx = sstate.iterations + jnp.arange(b, dtype=jnp.int32)
         return (
