@@ -451,6 +451,14 @@ def main() -> None:
     )
     EMB_DIM, NUM_NEGS = 64, 16
     exact_s, _ = time_epochs("step", dataset)
+    # Exact semantics at the measured issue-rate floor (DESIGN.md 6c-ter):
+    # direct per-occurrence updates drop the dense accumulator passes
+    # (clip-per-occurrence is the reference live path's own ordering,
+    # sgd.cpp:14-26); the remaining cost is the per-row gather/scatter
+    # issue rate itself.
+    exact_direct_s, _ = time_epochs(
+        "step", dataset, reps=2, update_mode="direct"
+    )
     # Exact semantics on the fork's LIVE visit order: real click files are
     # user-grouped, and the live MPI hot loop walks them in parse order
     # (engine.cpp:243-252, shuffle_mode="none"). Fixed streams enable the
@@ -554,6 +562,10 @@ def main() -> None:
         "fast_f32_s": round(fastf32_s, 4),
         "exact_mode_s": round(exact_s, 4),
         "exact_vs_baseline": round(BASELINE_EPOCH_S / exact_s, 2),
+        "exact_direct_s": round(exact_direct_s, 4),
+        "exact_direct_vs_baseline": round(
+            BASELINE_EPOCH_S / exact_direct_s, 2
+        ),
         "exact_grouped_s": round(exact_grouped_s, 4),
         "exact_grouped_vs_baseline": round(
             BASELINE_EPOCH_S / exact_grouped_s, 2

@@ -174,6 +174,13 @@ def build_table(r: dict) -> str:
             f"**{s('exact_mode_s'):.2f} s ({x('exact_vs_baseline')})** "
             "(chunk-fused history mean — the gather never materializes)"
             + (
+                f"; at the measured issue-rate floor with direct "
+                f"per-occurrence updates: {s('exact_direct_s'):.2f} s "
+                f"({x('exact_direct_vs_baseline')}, DESIGN.md 6c-ter)"
+                if s("exact_direct_s") is not None
+                else ""
+            )
+            + (
                 f"; on the live parse-order visit stream (user-grouped "
                 f"clicks, the fork's MPI hot-loop order) the "
                 f"history-gather dedup cuts it to "
