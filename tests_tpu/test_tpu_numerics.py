@@ -152,3 +152,176 @@ def test_headline_epoch_sanity():
     assert np.isfinite(l0) and np.isfinite(l1)
     assert l1 < l0
     assert dt < 60.0, f"headline epoch took {dt:.1f}s (expect ~0.3-0.5s)"
+
+
+def test_emb_pad_identity_on_chip():
+    """emb_pad=128 (the huge-table lane-width knob) was validated on CPU
+    only in round 3; on-chip, padded-width tables must train to the same
+    result as unpadded ones AND keep their tail columns exactly zero
+    (any pad/real column leak — e.g. from a TPU-tiled scatter touching
+    the padded lanes — lands here)."""
+    train, test = synthetic_click_dataset(
+        num_users=3000, num_items=5000, clicks_per_user=24, max_his=10,
+        seed=5,
+    )
+    kw = dict(
+        emb_dim=32, num_negs=8, max_his=10, batch_size=4096, l_r=0.05,
+        clip_val=1.0, seed=11, metrics=["Recall(k=20)"],
+    )
+    e_base = Engine(CFConfig(**kw), train, test)
+    e_pad = Engine(CFConfig(**kw, emb_pad=128), train, test)
+    l_base = [e_base.train_one_epoch() for _ in range(2)]
+    l_pad = [e_pad.train_one_epoch() for _ in range(2)]
+    np.testing.assert_allclose(l_pad, l_base, rtol=1e-5)
+    ue = np.asarray(e_pad.state.user_emb, np.float32)
+    ie = np.asarray(e_pad.state.item_emb, np.float32)
+    assert ue.shape[1] == 128 and ie.shape[1] == 128
+    assert not ue[:, 32:].any() and not ie[:, 32:].any()
+    np.testing.assert_allclose(
+        ue[:, :32], np.asarray(e_base.state.user_emb, np.float32),
+        rtol=1e-4, atol=1e-7,
+    )
+    m_pad = e_pad.evaluate()
+    m_base = e_base.evaluate()
+    assert abs(m_pad["Recall(k=20)"] - m_base["Recall(k=20)"]) < 0.01
+
+
+def test_subepoch_fused_matches_per_bucket_on_chip():
+    """The one-dispatch sub-epoch program (tile sampler + partition
+    complements + shape-static padded packing, round 4) must reproduce
+    the per-bucket dispatch path ON CHIP — the padded weight-0 batches,
+    traced pool sizes, and remapped tile all exercise TPU-only layouts
+    the CPU suite cannot."""
+    train, test = synthetic_click_dataset(
+        num_users=3000, num_items=5000, clicks_per_user=24, max_his=10,
+        seed=7,
+    )
+    kw = dict(
+        emb_dim=32, num_negs=8, max_his=10, batch_size=1024, l_r=0.05,
+        clip_val=1.0, seed=3, num_subepochs=2, neg_sampler=1,
+        tile_size=128, refresh_interval=2048,
+    )
+    e_fused = Engine(CFConfig(**kw), train, test, seed=5)
+    fused = [e_fused.train_one_epoch() for _ in range(2)]
+    e_seq = Engine(CFConfig(**kw), train, test, seed=5)
+    e_seq._fuse_subepochs = False
+    seq = [e_seq.train_one_epoch() for _ in range(2)]
+    np.testing.assert_allclose(fused, seq, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(e_fused.state.item_emb, np.float32),
+        np.asarray(e_seq.state.item_emb, np.float32),
+        rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(e_fused.sampler_state.tile),
+        np.asarray(e_seq.sampler_state.tile),
+    )
+
+
+def test_serving_request_path_matches_recommend_all():
+    """The serving request path (_topk_request: one (B, I) GEMM + packed
+    per-row mask + masked_topk) must agree with the sliced whole-table
+    ranking — exactly the precision-sensitive selection class of commit
+    15ea8f2's TPU-only top-k bug. bf16 tables (trained regime) so score
+    gaps often sit below bf16 ulp."""
+    from heat_tpu.serving import Recommender
+
+    train, test = synthetic_click_dataset(
+        num_users=3000, num_items=5000, clicks_per_user=24, max_his=10,
+        seed=9,
+    )
+    cfg = CFConfig(
+        emb_dim=32, num_negs=8, max_his=10, batch_size=4096, l_r=0.05,
+        clip_val=1.0, seed=2, compute_dtype="bfloat16",
+        param_dtype="bfloat16",
+    )
+    eng = Engine(cfg, train, test)
+    for _ in range(2):
+        eng.train_one_epoch()
+    rec = Recommender(
+        eng.state, cfg, seen_pairs=np.asarray(train.pairs),
+        his_items=train.his_items, his_masks=train.masks,
+    )
+    rng = np.random.default_rng(0)
+    uids = rng.choice(3000, 257, replace=False)  # off-pow2 batch
+    ids_all = rec.recommend_all(10)[uids]
+    ids_req = rec.recommend(uids, 10)
+    if not np.array_equal(ids_req, ids_all):
+        # Tie fallback: positions that differ must carry bit-equal
+        # masked scores under an exact host ranking oracle.
+        ue = np.asarray(eng.state.user_emb, np.float32)[uids]
+        ie = np.asarray(eng.state.item_emb, np.float32)
+        sim = ue.astype(np.float64) @ ie.astype(np.float64).T
+        pairs = np.asarray(train.pairs)
+        seen = {}
+        for u, i in pairs:
+            seen.setdefault(u, set()).add(i)
+        for r, u in enumerate(uids):
+            for i in seen.get(int(u), ()):
+                sim[r, i] = -np.inf
+        diff = ids_req != ids_all
+        s_req = np.take_along_axis(sim, ids_req.astype(np.int64), 1)
+        s_all = np.take_along_axis(sim, ids_all.astype(np.int64), 1)
+        np.testing.assert_allclose(
+            s_req[diff], s_all[diff], rtol=0, atol=0,
+            err_msg="request path re-ranked non-tied scores",
+        )
+
+
+def test_large_batch_auto_tile_epoch_sanity():
+    """The throughput-champion config (batch 32768, Alg-1 auto tile ->
+    128, refresh 32768) on the real chip: finite decreasing loss and the
+    auto-derived tile geometry actually in effect."""
+    rng = np.random.default_rng(0)
+    U, I, N, H = 52_643, 91_599, 2_380_730, 100
+    data = ClickDataset(
+        pairs=np.stack(
+            [rng.integers(0, U, N), rng.integers(0, I, N)], 1
+        ).astype(np.int32),
+        his_items=rng.integers(0, I, (U, H)).astype(np.int32),
+        masks=np.full((U,), H, np.int32),
+        num_users=U,
+        num_items=I,
+        max_his=H,
+        user_items=[],
+    )
+    cfg = CFConfig(
+        emb_dim=64, num_negs=16, max_his=H, batch_size=32768, l_r=0.04,
+        clip_val=1.0, milestones=[10], seed=2022, his_refresh="subepoch",
+        neg_sampler=1, tile_size=0, refresh_interval=32768,
+        compute_dtype="bfloat16", param_dtype="bfloat16",
+        update_mode="direct",
+    )
+    eng = Engine(cfg, data)
+    assert eng.cfg.tile_size == 128, eng.cfg.tile_size  # Alg-1 at 32k
+    l0 = eng.train_one_epoch()
+    t0 = time.perf_counter()
+    l1 = eng.train_one_epoch()
+    dt = time.perf_counter() - t0
+    assert np.isfinite(l0) and np.isfinite(l1) and l1 < l0
+    assert dt < 60.0, f"32k auto-tile epoch took {dt:.1f}s (expect ~0.17s)"
+
+
+def test_fused_full_run_matches_unfused_on_chip():
+    """The fused train->eval run program (train/run.py) inlines the tiled
+    bitmask top-k and on-device metric reduction INSIDE a donated
+    multi-epoch program — on-chip layout/precision hazards the CPU
+    equivalence test cannot see. Losses and metric values must match the
+    unfused shape."""
+    train, test = synthetic_click_dataset(
+        num_users=3000, num_items=5000, clicks_per_user=24, max_his=10,
+        seed=13,
+    )
+    kw = dict(
+        emb_dim=32, num_negs=8, max_his=10, batch_size=4096, l_r=0.05,
+        clip_val=1.0, seed=4, metrics=["Recall(k=20)", "NDCG(k=20)"],
+    )
+    e_fused = Engine(CFConfig(**kw), train, test)
+    losses_f, evals_f = e_fused.run_epochs_with_eval(3, 2)
+    e_seq = Engine(CFConfig(**kw), train, test)
+    losses_s, evals_s = e_seq.run_epochs_with_eval(3, 2, fused=False)
+    np.testing.assert_allclose(losses_f, losses_s, rtol=1e-5)
+    assert [e["epoch"] for e in evals_f] == [e["epoch"] for e in evals_s]
+    for ef, es in zip(evals_f, evals_s):
+        for m in kw["metrics"]:
+            np.testing.assert_allclose(ef[m], es[m], rtol=1e-5, atol=1e-6)
