@@ -160,6 +160,79 @@ def worker(
         )
         jax.distributed.shutdown()
         return
+    if variant == "serve":
+        # VERDICT r3 item 5: serving + export from a LIVE multi-host
+        # sharded engine state. Recommender.from_engine allgathers the
+        # table shards so every host serves the full user space; results
+        # must be identical across hosts, the request path must equal the
+        # sliced whole-table ranking, and an export->load round-trip (the
+        # "single-process Recommender on the same trained state") must
+        # reproduce the same recommendations.
+        import tempfile
+
+        import jax.numpy as jnp
+        from jax.experimental import multihost_utils
+
+        from heat_tpu.export import export_embeddings, load_embeddings
+        from heat_tpu.serving import Recommender
+
+        eng = Engine(CFConfig(**kw), local_train, local_test, mesh=mesh)
+        losses = [eng.train_one_epoch() for _ in range(3)]
+        assert all(np.isfinite(l) for l in losses), losses
+        rec = Recommender.from_engine(
+            eng,
+            seen_pairs=np.asarray(train.pairs),
+            his_items=train.his_items,
+            his_masks=train.masks,
+        )
+        assert rec.state.user_emb.shape[0] == train.num_users
+        assert rec.state.item_emb.shape[0] == train.num_items
+        uids = [0, 7, 33, 63]  # spans both hosts' user ranges
+        got = rec.recommend(uids, 10)
+        got_all = rec.recommend_all(10)
+        assert np.array_equal(got, got_all[np.asarray(uids)]), (
+            "request path diverged from whole-table ranking"
+        )
+        got_agg = rec.recommend(uids, 10, aggregate_users=True)
+        assert got_agg.shape == (4, 10)
+        cold = rec.recommend_cold([[1, 2, 3], [5]], 10)
+        assert cold.shape == (2, 10)
+        # Identical results on every host.
+        all_ids = multihost_utils.process_allgather(np.asarray(got))
+        all_ids = all_ids.reshape(num_procs, len(uids), 10)
+        assert (all_ids == all_ids[0]).all(), "hosts disagree"
+        # Export from the live sharded state; the loaded npz rebuilt as a
+        # plain single-process Recommender reproduces the recommendations.
+        path = os.path.join(
+            tempfile.gettempdir(), f"heat_demo_export_{proc_id}.npz"
+        )
+        export_embeddings(eng.state, path, eng.cfg)
+        z = load_embeddings(path)
+        assert z["user_emb"].shape == (train.num_users, kw["emb_dim"])
+        oracle_state = rec.state.replace(
+            user_emb=jnp.asarray(z["user_emb"]),
+            item_emb=jnp.asarray(z["item_emb"]),
+            w0=jnp.asarray(z["w0"]),
+        )
+        oracle = Recommender(
+            oracle_state,
+            eng.cfg,
+            seen_pairs=np.asarray(train.pairs),
+            his_items=train.his_items,
+            his_masks=train.masks,
+        )
+        assert np.array_equal(oracle.recommend(uids, 10), got), (
+            "export round-trip Recommender diverged"
+        )
+        os.remove(path)
+        print(
+            f"proc {proc_id}: serve ok — request==sliced, hosts agree, "
+            f"export round-trip equal (losses "
+            f"{[round(x, 5) for x in losses]})",
+            flush=True,
+        )
+        jax.distributed.shutdown()
+        return
     engine = Engine(cfg, local_train, local_test, mesh=mesh)
     if variant == "checkpoint":
         # Failure-recovery path: train, checkpoint (all hosts participate
@@ -237,7 +310,7 @@ def main() -> None:
     parser.add_argument("--worker", type=int, default=None)
     parser.add_argument(
         "--variant", type=str, default="base",
-        choices=("base", "full", "checkpoint", "fused", "subepoch")
+        choices=("base", "full", "checkpoint", "fused", "subepoch", "serve")
     )
     args = parser.parse_args()
     if args.worker is not None:

@@ -160,3 +160,45 @@ def test_recommender_sparse_seen_ids():
     assert ids.shape == (20, 10) and ids.max() < 150
     for u in range(20):
         assert u not in set(map(int, ids[u]))  # the (u, u) seen pair masked
+
+
+def test_from_engine_mesh_sharded_state():
+    """Recommender.from_engine on a single-process MESH engine (VERDICT
+    r3 item 5): divisibility-padding rows are sliced off (odd item count
+    forces padding on the model axis), pad items never surface in
+    results, and the request path matches a Recommender built by hand on
+    the unpadded state."""
+    import jax
+
+    from heat_tpu.parallel.mesh import make_mesh
+
+    train, test = synthetic_click_dataset(
+        num_users=96, num_items=47, clicks_per_user=12, max_his=6, seed=3
+    )
+    cfg = CFConfig(
+        emb_dim=16, num_negs=4, max_his=6, batch_size=64, l_r=0.05,
+        clip_val=0.5, seed=9,
+    )
+    mesh = make_mesh(2, 4, jax.devices()[:8])
+    eng = Engine(cfg, train, test, mesh=mesh)
+    for _ in range(2):
+        eng.train_one_epoch()
+    assert eng._pad_items > 0  # 47 does not divide the model axis
+    rec = Recommender.from_engine(eng)
+    assert rec.state.user_emb.shape[0] == 96
+    assert rec.state.item_emb.shape[0] == 47
+    uids = np.asarray([0, 5, 17, 95])
+    got = rec.recommend(uids, 5)
+    assert got.shape == (4, 5) and got.max() < 47
+    manual = Recommender(
+        eng.unpadded_state(), cfg,
+        seen_pairs=np.asarray(train.pairs),
+        his_items=train.his_items, his_masks=train.masks,
+    )
+    np.testing.assert_array_equal(got, manual.recommend(uids, 5))
+    np.testing.assert_array_equal(
+        rec.recommend_all(5), manual.recommend_all(5)
+    )
+    # Cold-start flows from the mesh-trained state too.
+    cold = rec.recommend_cold([[1, 2, 3]], 5)
+    assert cold.shape == (1, 5) and cold.max() < 47
