@@ -761,33 +761,63 @@ class Engine:
         with self.timer.phase("data"):
             keys, arrs = [], []
             if self._multiprocess:
-                packed = []
-                for b in buckets:
-                    u, p, w = self._local_batches(jnp.asarray(b))
-                    packed.append(
-                        (np.asarray(u), np.asarray(p), np.asarray(w))
-                    )
-                    keys.append(self._next_key())
-                nb = max(a[0].shape[0] for a in packed)
-
-                def padnb(a):
-                    if a.shape[0] == nb:
-                        return a
-                    out = np.zeros((nb,) + a.shape[1:], a.dtype)
-                    out[: a.shape[0]] = a
-                    return out
-
+                # SHAPE-STATIC local packing (the same ~29 s/shape
+                # remote-recompile hazard as the single-process branch,
+                # per host): hosts agree on a grow-only batch-count cap
+                # via allgather-max, so every host pads every bucket to
+                # identical static shapes and the padded shuffle keeps
+                # the real prefix bit-identical (_permute_batches_padded).
+                # One key per bucket for shuffling modes — exactly the
+                # old per-bucket draw count (empty shards drew a
+                # compensating key).
+                from jax.experimental import multihost_utils
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 from heat_tpu.parallel.mesh import DATA_AXIS
 
+                d_ax = self._data_axis_size
+                nproc = jax.process_count()
+                local_batch = max(
+                    1, (-(-cfg.batch_size // d_ax) * d_ax) // nproc
+                )
+                need = max(
+                    -(-max(1, int(b.shape[0])) // local_batch)
+                    for b in buckets
+                )
+                all_need = multihost_utils.process_allgather(
+                    np.asarray([need])
+                )
+                need = int(np.max(all_need))
+                cached = getattr(self, "_subep_geom_mp", None)
+                if (
+                    cached is not None
+                    and cached[0] == local_batch
+                    and cached[1] >= need
+                ):
+                    local_batch, nb = cached
+                else:
+                    nb = need + 1 + need // 16
+                    self._subep_geom_mp = (local_batch, nb)
+                cap_rows = nb * local_batch
+                packed = []
+                for b in buckets:
+                    n = int(b.shape[0])
+                    bpad = np.zeros((cap_rows, 2), np.int32)
+                    bpad[:n] = b
+                    u, p, w = self._shuffle_or_pack_padded(
+                        jnp.asarray(bpad), n, nb, local_batch
+                    )
+                    packed.append(
+                        (np.asarray(u), np.asarray(p), np.asarray(w))
+                    )
+                    keys.append(self._next_key())
                 stream_sh = NamedSharding(
                     self.mesh, P(None, None, DATA_AXIS)
                 )
                 users, pos, weight = (
                     jax.make_array_from_process_local_data(
                         stream_sh,
-                        np.stack([padnb(a[i]) for a in packed]),
+                        np.stack([a[i] for a in packed]),
                     )
                     for i in range(3)
                 )

@@ -145,6 +145,16 @@ def worker(
         # (uniform sampler + SGD routes through it by default) — this is
         # the multi-process branch's coverage.
         assert getattr(eng, "_subepoch_epoch_fn", None) is not None
+        # Round 4: the shape-static padded mp packing must reproduce the
+        # per-bucket dispatch path exactly (weight-0 padding batches are
+        # sampler/step no-ops; padded shuffles keep the real prefix).
+        e_pb = Engine(cfg_sub, local_train, local_test, mesh=mesh)
+        e_pb._fuse_subepochs = False
+        pb_losses = [e_pb.train_one_epoch() for _ in range(3)]
+        assert all(
+            abs(a - b) <= 1e-6 * max(1.0, abs(a))
+            for a, b in zip(pb_losses, losses)
+        ), (pb_losses, losses)
         # Prove the per-host numpy RNG streams stayed aligned (the
         # partition permutations were identical draws on every host):
         # after identical consumption, the next draws must agree.
