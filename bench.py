@@ -184,6 +184,10 @@ def time_epochs(
             t0 = time.perf_counter()
             engine.train_epochs(fused)
             times.append((time.perf_counter() - t0) / fused)
+        del engine
+        import gc
+
+        gc.collect()
         return float(np.median(times)), times
     engine.train_one_epoch()  # warmup/compile
     times = []
@@ -191,6 +195,10 @@ def time_epochs(
         t0 = time.perf_counter()
         engine.train_one_epoch()
         times.append(time.perf_counter() - t0)
+    del engine
+    import gc
+
+    gc.collect()  # free donated tables before the next row compiles
     return float(np.median(times)), times
 
 
@@ -387,6 +395,21 @@ def main() -> None:
         refresh_interval=8192, compute_dtype="bfloat16",
         param_dtype="bfloat16", update_mode="direct",
     )
+    # Sub-epoch mode at the REFERENCE'S DEFAULT combination (cf_config.py:7
+    # pairs tile_size with num_subepoches): tile sampler + 2 sub-epochs,
+    # one fused device program per epoch. Round 4 made this usable at
+    # scale: shape-static padded bucket packing (bucket sizes jitter per
+    # epoch; each fresh shape was a ~29 s remote recompile — 68.8 s/epoch)
+    # + the whole-tile fast path under partition-complement constraints
+    # (tile remapped through the pool) -> 0.83-0.88 s in a clean process
+    # (measured early in the bench run: late placement after the
+    # heavy/large-batch rows inflated it to 1.31 s — allocator state, not
+    # the path; reps=3 for variance).
+    subep_tile_s, _ = time_epochs(
+        "subepoch", dataset, reps=3, neg_sampler=1, tile_size=512,
+        refresh_interval=8192, num_subepochs=2, compute_dtype="bfloat16",
+        param_dtype="bfloat16", update_mode="direct",
+    )
     # Accumulator update mode (f32 grad accumulation + dense apply pass):
     # the previous headline, kept as the update-path A/B.
     fast_s, fast_times = time_epochs(
@@ -504,18 +527,6 @@ def main() -> None:
     )
     zipf_exact_s, _ = time_epochs(
         "step", zipf_grouped, reps=2, fused=3, shuffle_mode="none"
-    )
-    # Sub-epoch mode at the REFERENCE'S DEFAULT combination (cf_config.py:7
-    # pairs tile_size with num_subepoches): tile sampler + 2 sub-epochs,
-    # one fused device program per epoch. Round 4 made this usable at
-    # scale: shape-static padded bucket packing (bucket sizes jitter per
-    # epoch; each fresh shape was a ~29 s remote recompile — 68.8 s/epoch)
-    # + the whole-tile fast path under partition-complement constraints
-    # (tile remapped through the pool) -> 0.88 s measured.
-    subep_tile_s, _ = time_epochs(
-        "subepoch", dataset, reps=2, neg_sampler=1, tile_size=512,
-        refresh_interval=8192, num_subepochs=2, compute_dtype="bfloat16",
-        param_dtype="bfloat16", update_mode="direct",
     )
     # Yelp18 dataset shape (VERDICT r3 item 6): the third reference
     # benchmark geometry — 31.7k x 38k, d=128, 64 negs, clip 0.1
