@@ -401,10 +401,9 @@ def main() -> None:
     # scale: shape-static padded bucket packing (bucket sizes jitter per
     # epoch; each fresh shape was a ~29 s remote recompile — 68.8 s/epoch)
     # + the whole-tile fast path under partition-complement constraints
-    # (tile remapped through the pool) -> 0.83-0.88 s in a clean process
-    # (measured early in the bench run: late placement after the
-    # heavy/large-batch rows inflated it to 1.31 s — allocator state, not
-    # the path; reps=3 for variance).
+    # (tile remapped through the pool), then ON-DEVICE bucketing (the
+    # program receives only the item permutation; no per-epoch bucket
+    # uploads) -> 0.40 s measured clean-process.
     subep_tile_s, _ = time_epochs(
         "subepoch", dataset, reps=3, neg_sampler=1, tile_size=512,
         refresh_interval=8192, num_subepochs=2, compute_dtype="bfloat16",

@@ -124,6 +124,16 @@ def _permute_batches_padded(
     total = num_batches * batch
     keys = jax.random.bits(key, (total,))
     real = jnp.arange(total, dtype=jnp.int32) < n
+    # Real keys cap at 0xFFFFFFFE so a real row can never tie a pad under
+    # the (unstable) sort and land past position n (a pad would then be
+    # weighted real in its place). Affects the shuffle only on 2^-32 key
+    # ties, which the unpadded path's unstable sort breaks arbitrarily
+    # anyway.
+    keys = jnp.where(
+        jnp.logical_and(real, keys == jnp.uint32(0xFFFFFFFF)),
+        jnp.uint32(0xFFFFFFFE),
+        keys,
+    )
     keys = jnp.where(real, keys, jnp.uint32(0xFFFFFFFF))
     _, su, sp = jax.lax.sort(
         (keys, pairs_padded[:, 0], pairs_padded[:, 1]),
@@ -705,6 +715,21 @@ class Engine:
                 part_of[perm[bounds[s] : bounds[s + 1]]] = s
             pairs_np = np.asarray(self.pairs)
             pair_part = part_of[pairs_np[:, 1]]
+            if self._fuse_subepochs and not self._multiprocess:
+                # ON-DEVICE bucketing (round 4): the program receives only
+                # the permutation + per-bucket counts and sorts/slices/
+                # shuffles the device-resident pairs itself — no bucket
+                # materialization or upload (the host-packed path's
+                # uploads cost ~0.55 s/epoch at AmazonBooks scale against
+                # a 0.29 s device program). Bit-identical to the host
+                # path (train_step.make_subepoch_epoch_fn_device).
+                counts = np.bincount(
+                    pair_part, minlength=cfg.num_subepochs
+                )
+                self.epoch += 1
+                return self._run_subepochs_fused_device(
+                    perm, counts
+                ) / max(1, cfg.train_size)
             buckets, complements = [], []
             for s in range(cfg.num_subepochs):
                 buckets.append(pairs_np[pair_part == s])
@@ -740,6 +765,62 @@ class Engine:
                         self.state = zero_grad_accumulators(self.state)
         self.epoch += 1
         return total_loss / max(1, cfg.train_size)
+
+    def _run_subepochs_fused_device(self, perm, counts) -> float:
+        """Single-process fused sub-epoch epoch with ON-DEVICE bucketing
+        (train_step.make_subepoch_epoch_fn_device): uploads the item
+        permutation (I int32) instead of every bucket's packed batches.
+        Key draws and geometry match the host-packed path exactly:
+        per NON-EMPTY bucket one shuffle key (shuffling modes only) +
+        one epoch key; the static (nb, batch) window comes from the same
+        grow-only geometry cache."""
+        from heat_tpu.train.train_step import make_subepoch_epoch_fn_device
+
+        cfg = self.cfg
+        s_count = cfg.num_subepochs
+        with self.timer.phase("data"):
+            ns = [int(c) for c in counts]
+            batch, nb = self._subepoch_geometry(ns)
+            shuffle_keys, epoch_keys = [], []
+            for n in ns:
+                if n == 0:
+                    shuffle_keys.append(jax.random.key(0))
+                    epoch_keys.append(jax.random.key(0))
+                    continue
+                shuffle_keys.append(
+                    self._next_key()
+                    if cfg.shuffle_mode != "none"
+                    else jax.random.key(0)
+                )
+                epoch_keys.append(self._next_key())
+            perm_j = jnp.asarray(np.asarray(perm, np.int32))
+            counts_j = jnp.asarray(np.asarray(counts, np.int32))
+            if self._replicated is not None:
+                perm_j = jax.device_put(perm_j, self._replicated)
+                counts_j = jax.device_put(counts_j, self._replicated)
+        fn_key = (s_count, nb, batch)
+        cached = getattr(self, "_subep_dev_cache", None)
+        if cached is None or cached[0] != fn_key:
+            self._subep_dev_cache = (
+                fn_key,
+                make_subepoch_epoch_fn_device(
+                    cfg, self.mesh, s_count, nb, batch
+                ),
+            )
+        fn = self._subep_dev_cache[1]
+        with self.timer.phase("f_b"):
+            self.state, self.sampler_state, loss_sum = fn(
+                self.state,
+                self.sampler_state,
+                jnp.stack(shuffle_keys),
+                jnp.stack(epoch_keys),
+                perm_j,
+                counts_j,
+                self.pairs,
+                self.his_items,
+                self.his_masks,
+            )
+            return float(loss_sum)
 
     def _run_subepochs_fused(self, buckets, complements) -> float:
         """All S sub-epoch buckets in ONE device program

@@ -822,6 +822,192 @@ def make_subepoch_epoch_fn(cfg: CFConfig, mesh=None):
     return jax.jit(subepoch_epoch_fn, donate_argnums=(0, 1))
 
 
+def make_subepoch_epoch_fn_device(
+    cfg: CFConfig, mesh, s_count: int, nb: int, batch: int
+):
+    """Sub-epoch epoch with ON-DEVICE bucketing: one device program, one
+    tiny upload (the item permutation) per epoch.
+
+    The host-packed path (make_subepoch_epoch_fn) uploads every bucket's
+    packed batches through the tunnel — ~0.55 s/epoch at AmazonBooks
+    scale (uploads run ~35 MB/s on the dev link) against a 0.29 s device
+    program. Here the program receives the raw (N, 2) pair table (already
+    device-resident) plus the host-drawn item permutation (I int32 — the
+    host rng keeps cross-host/per-bucket-oracle parity) and does the
+    bucketing itself:
+
+      1. part_of: scatter the static partition ids through the
+         permutation (engine.cpp:108-121's col_map);
+      2. pair_part = part_of[pos ids]; STABLE sort pairs by partition —
+         buckets become contiguous runs in original pair order (exactly
+         the host path's boolean-mask order);
+      3. per sub-epoch: dynamic-slice a static (nb*batch)-row window at
+         the bucket's start (pairs padded by one window so no clamp),
+         shuffle it with the bucket's key exactly like
+         _permute_batches_padded (same bits, same masked-tail sort —
+         bit-identical real prefix), weight = arange < count;
+      4. the usual batch scan with the partition-complement pool, which
+         is computed on device from the permutation (static bounds).
+
+    Key/count discipline matches the host path: the engine still computes
+    per-bucket counts host-side (np.bincount — cheap; it sizes the static
+    window too) and draws keys only for non-empty buckets.
+
+    Returns f(state, sampler_state, shuffle_keys (S,), epoch_keys (S,),
+              perm (I,), counts (S,), pairs (N, 2), his_items, his_masks)
+        -> (state, sampler_state, loss_sum)
+    """
+    num_items = cfg.num_items
+    bounds = [
+        int(x)
+        for x in __import__("numpy").linspace(0, num_items, s_count + 1)
+    ]
+    part_sizes = [bounds[s + 1] - bounds[s] for s in range(s_count)]
+    pool_sizes_static = [num_items - p for p in part_sizes]
+    c_max = max(1, max(pool_sizes_static))
+    cap_rows = nb * batch
+    batch_sh = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from heat_tpu.parallel.mesh import DATA_AXIS
+
+        batch_sh = NamedSharding(mesh, PartitionSpec(None, DATA_AXIS))
+
+    def subepoch_epoch_fn(
+        state,
+        sampler_state,
+        shuffle_keys,
+        epoch_keys,
+        perm,
+        counts,
+        pairs,
+        his_items,
+        his_masks,
+    ):
+        import numpy as _np
+
+        # 1. partition assignment through the permutation.
+        part_ids = jnp.asarray(
+            _np.repeat(
+                _np.arange(s_count, dtype=_np.int32), part_sizes
+            )
+        )
+        part_of = (
+            jnp.zeros((num_items,), jnp.int32).at[perm].set(part_ids)
+        )
+        pair_part = part_of[pairs[:, 1]]
+        # 2. stable sort by partition: contiguous buckets, original order
+        # within each (the host boolean-mask order).
+        _, su_all, sp_all = jax.lax.sort(
+            (pair_part, pairs[:, 0], pairs[:, 1]),
+            dimension=0,
+            num_keys=1,
+            is_stable=True,
+        )
+        pad = jnp.zeros((cap_rows,), jnp.int32)
+        su_all = jnp.concatenate([su_all, pad])
+        sp_all = jnp.concatenate([sp_all, pad])
+        starts = jnp.concatenate(
+            [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)]
+        )[:-1]
+        # 4's pool: complement of each partition in PERM order (static
+        # bounds — identical to the host path's pools_np).
+        pools = jnp.stack(
+            [
+                jnp.concatenate(
+                    [perm[: bounds[s]], perm[bounds[s + 1] :]]
+                    + (
+                        [
+                            jnp.broadcast_to(
+                                perm[:1], (c_max - pool_sizes_static[s],)
+                            )
+                        ]
+                        if c_max > pool_sizes_static[s]
+                        else []
+                    )
+                )
+                for s in range(s_count)
+            ]
+        )
+        pool_sizes = jnp.asarray(
+            [max(1, p) for p in pool_sizes_static], jnp.int32
+        )
+
+        def sub_body(carry, xs):
+            state, sampler_state = carry
+            k_shuffle, k_epoch, start, count, pool, pool_size = xs
+            sl_u = jax.lax.dynamic_slice(su_all, (start,), (cap_rows,))
+            sl_p = jax.lax.dynamic_slice(sp_all, (start,), (cap_rows,))
+            real = jnp.arange(cap_rows, dtype=jnp.int32) < count
+            if cfg.shuffle_mode == "none":
+                bu, bp = sl_u, sl_p
+            else:
+                # Exactly _permute_batches_padded's shuffle: same bits,
+                # real keys capped at 0xFFFFFFFE, tail (here: the NEXT
+                # buckets' rows) masked to 0xFFFFFFFF and weighted out.
+                bits = jax.random.bits(k_shuffle, (cap_rows,))
+                bits = jnp.where(
+                    jnp.logical_and(
+                        real, bits == jnp.uint32(0xFFFFFFFF)
+                    ),
+                    jnp.uint32(0xFFFFFFFE),
+                    bits,
+                )
+                bits = jnp.where(
+                    real, bits, jnp.uint32(0xFFFFFFFF)
+                )
+                _, bu, bp = jax.lax.sort(
+                    (bits, sl_u, sl_p), dimension=0, num_keys=1
+                )
+            users = bu.reshape(nb, batch)
+            pos = bp.reshape(nb, batch)
+            weight = real.astype(jnp.float32).reshape(nb, batch)
+            if batch_sh is not None:
+                users = jax.lax.with_sharding_constraint(users, batch_sh)
+                pos = jax.lax.with_sharding_constraint(pos, batch_sh)
+                weight = jax.lax.with_sharding_constraint(
+                    weight, batch_sh
+                )
+            bkeys = jax.random.split(k_epoch, nb)
+            user_means = _refresh_pools(cfg, state, his_items, his_masks)
+
+            def body(c, bxs):
+                st, ss = c
+                k, u, p, w = bxs
+                st, ss, loss = train_step(
+                    st, ss, k, Batch(u, p, w), his_items, his_masks, cfg,
+                    neg_candidates=pool,
+                    neg_candidates_size=pool_size,
+                    user_means=user_means,
+                )
+                return (st, ss), loss
+
+            (state, sampler_state), losses = jax.lax.scan(
+                body, (state, sampler_state), (bkeys, users, pos, weight)
+            )
+            if state.user_gacc is not None:
+                from heat_tpu.models.state import zero_grad_accumulators
+
+                state = zero_grad_accumulators(state)
+            return (state, sampler_state), jnp.sum(losses)
+
+        (state, sampler_state), loss_sums = jax.lax.scan(
+            sub_body,
+            (state, sampler_state),
+            (
+                shuffle_keys,
+                epoch_keys,
+                starts.astype(jnp.int32),
+                counts.astype(jnp.int32),
+                pools,
+                pool_sizes,
+            ),
+        )
+        return state, sampler_state, jnp.sum(loss_sums)
+
+    return jax.jit(subepoch_epoch_fn, donate_argnums=(0, 1))
+
+
 def make_multi_epoch_stream_fn(cfg: CFConfig, mesh=None):
     """Fused multi-epoch program consuming PRE-PACKED per-epoch batch
     streams: users/pos/weight carry a leading epoch axis (E, nb, B) and the

@@ -141,10 +141,13 @@ def worker(
         losses = [eng.train_one_epoch() for _ in range(3)]
         assert all(np.isfinite(l) for l in losses), losses
         assert losses[-1] < losses[0], losses
-        # The fused one-dispatch sub-epoch program must be what ran
-        # (uniform sampler + SGD routes through it by default) — this is
-        # the multi-process branch's coverage.
-        assert getattr(eng, "_subepoch_epoch_fn", None) is not None
+        # The fused one-dispatch sub-epoch program must be what ran:
+        # multi-process routes through the host-packed program, the
+        # 1-proc comparison run through the on-device-bucketing one.
+        if num_procs > 1:
+            assert getattr(eng, "_subepoch_epoch_fn", None) is not None
+        else:
+            assert getattr(eng, "_subep_dev_cache", None) is not None
         # Round 4: the shape-static padded mp packing must reproduce the
         # per-bucket dispatch path exactly (weight-0 padding batches are
         # sampler/step no-ops; padded shuffles keep the real prefix).
