@@ -202,7 +202,7 @@ def time_epochs(
     return float(np.median(times)), times
 
 
-def time_full_run(dataset: ClickDataset, reps: int = 2):
+def time_full_run(dataset: ClickDataset, reps: int = 2, **cfg_kw):
     """The reference's ACTUAL deployment shape, end to end, as one
     wall-clock number (VERDICT r3 item 1): 5 epochs with a ranking
     evaluation after epochs 2 and 4 (cf/main.py:106-124 at the AmazonBooks
@@ -215,7 +215,9 @@ def time_full_run(dataset: ClickDataset, reps: int = 2):
       unfused — train_epochs segments + evaluate at each boundary
         (one dispatch per segment + per eval);
       fused — the whole run as ONE device program
-        (Engine.run_epochs_with_eval / train/run.make_run_fn).
+        (Engine.run_epochs_with_eval / train/run.make_run_fn, or
+        make_run_fn_subepoch when ``cfg_kw`` adds ``num_subepochs`` —
+        the reference's DEFAULT shape, cf_config.py:7).
     Returns (unfused_s, fused_s) medians over ``reps``.
     """
     rng = np.random.default_rng(3)
@@ -231,7 +233,7 @@ def time_full_run(dataset: ClickDataset, reps: int = 2):
     )
 
     def make_engine():
-        cfg = CFConfig(
+        base = dict(
             emb_dim=EMB_DIM,
             num_negs=NUM_NEGS,
             max_his=MAX_HIS,
@@ -248,7 +250,8 @@ def time_full_run(dataset: ClickDataset, reps: int = 2):
             param_dtype="bfloat16",
             update_mode="direct",
         )
-        return Engine(cfg, dataset, test_ds)
+        base.update(cfg_kw)
+        return Engine(CFConfig(**base), dataset, test_ds)
 
     out = []
     for fused in (False, True):
@@ -546,6 +549,13 @@ def main() -> None:
     )
     # The reference's actual run shape, one wall-clock number + fused.
     full_run_s, full_run_fused_s = time_full_run(dataset)
+    # Same schedule at the reference's DEFAULT config shape
+    # (cf_config.py:7: tile sampler + num_subepoches=2): fused = the
+    # whole schedule as ONE device program over the on-device-bucketed
+    # sub-epoch epoch (train/run.make_run_fn_subepoch, round 4).
+    full_run_def_s, full_run_def_fused_s = time_full_run(
+        dataset, num_subepochs=2
+    )
     eval_s, eval_approx_s, eval_approx95_s = time_eval(dataset)
     # Eval under skew: Zipf-skewed train-pair mask (hot items concentrate
     # mask bits) and Zipf-skewed truth lists, same exact top-50 path.
@@ -610,6 +620,14 @@ def main() -> None:
         "full_run_fused_s": round(full_run_fused_s, 4),
         "full_run_fused_vs_baseline": round(
             5 * BASELINE_EPOCH_S / full_run_fused_s, 2
+        ),
+        # Same schedule at the reference's DEFAULT config shape
+        # (tile + 2 sub-epochs, cf_config.py:7); fused = ONE device
+        # program over the on-device-bucketed sub-epoch epoch.
+        "full_run_default_s": round(full_run_def_s, 4),
+        "full_run_default_fused_s": round(full_run_def_fused_s, 4),
+        "full_run_default_fused_vs_baseline": round(
+            5 * BASELINE_EPOCH_S / full_run_def_fused_s, 2
         ),
         "zipf_s": round(zipf_s, 4),
         "zipf_vs_baseline": round(BASELINE_EPOCH_S / zipf_s, 2),

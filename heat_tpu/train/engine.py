@@ -1214,38 +1214,96 @@ class Engine:
         ``epochs`` epochs with a ranking evaluation after epoch ``e``
         whenever ``e > 0 and e % eval_interval == 0``.
 
-        On the single-process unsharded path with per-epoch shuffling and
-        no sub-epoch partitioning, the WHOLE run — every epoch scan and
-        every tiled top-k + on-device metric reduction — executes as ONE
-        device program (train/run.make_run_fn): only per-epoch loss
-        scalars and per-eval metric values reach the host. Key draws match
-        sequential ``train_one_epoch`` calls exactly, so the loss
-        trajectory is identical to the unfused shape (tested). Everything
-        else (mesh/multi-host, fixed streams, sub-epochs, scatter-mask
-        eval geometries, ``fused=False``) falls back to
-        ``train_epochs`` segments + ``evaluate`` at each boundary.
+        On the single-process unsharded path the WHOLE run — every epoch
+        scan and every tiled top-k + on-device metric reduction —
+        executes as ONE device program: per-epoch shuffling without
+        sub-epochs through train/run.make_run_fn, and sub-epoch
+        partitioning (the reference's DEFAULT shape, cf_config.py:7)
+        through make_run_fn_subepoch over the on-device-bucketed epoch
+        program. Only per-epoch loss scalars and per-eval metric values
+        reach the host. Key draws match sequential ``train_one_epoch``
+        calls exactly, so the loss trajectory is identical to the
+        unfused shape (tested). Everything else (mesh/multi-host, fixed
+        streams without sub-epochs, scatter-mask eval geometries,
+        ``fused=False``) falls back to ``train_epochs`` segments +
+        ``evaluate`` at each boundary.
 
         Returns (per-epoch mean losses, evals) where evals entries are
         {"epoch": e, metric: value, ...} in schedule order.
         """
-        from heat_tpu.train.run import make_run_fn, reference_schedule
+        from heat_tpu.train.run import (
+            make_run_fn,
+            make_run_fn_subepoch,
+            reference_schedule,
+        )
 
         cfg = self.cfg
         metrics = list(metrics if metrics is not None else cfg.metrics)
         segments = reference_schedule(epochs, eval_interval)
-        eligible = (
+        base_ok = (
             fused
             and not self._multiprocess
             and self.mesh is None
-            and cfg.shuffle_mode == "epoch"
-            and cfg.num_subepochs <= 1
             and self.test_data is not None
             and int(self.pairs.shape[0]) > 0
         )
-        if eligible:
+        eligible = (
+            base_ok
+            and cfg.shuffle_mode == "epoch"
+            and cfg.num_subepochs <= 1
+        )
+        # Sub-epoch configs (the reference's DEFAULT shape,
+        # cf_config.py:7) fuse through the on-device-bucketed epoch
+        # program instead; any shuffle mode (the per-epoch device path
+        # treats them identically at sub-epoch granularity).
+        sub_eligible = (
+            base_ok and cfg.num_subepochs > 1 and self._fuse_subepochs
+        )
+        sub_prep = None
+        if eligible or sub_eligible:
             self._ensure_evaluator(user_tile)
-            eligible = self._evaluator.mask_bits is not None
-        if not eligible:
+            ok = self._evaluator.mask_bits is not None
+            eligible = eligible and ok
+            sub_eligible = sub_eligible and ok
+        if sub_eligible:
+            # Host prep mirrors train_one_epoch's sub-epoch work per
+            # epoch: perm (host rng — per-bucket-oracle parity), counts,
+            # grow-only geometry. The packed batch width must be
+            # epoch-invariant for the fused program (production buckets
+            # >> batch_size always are); if bucket jitter would change
+            # it, rewind the rng and fall back to the unfused shape.
+            rng_snapshot = self._np_rng.bit_generator.state
+            s_count = cfg.num_subepochs
+            pairs_np = np.asarray(self.pairs)
+            bounds = np.linspace(
+                0, cfg.num_items, s_count + 1
+            ).astype(np.int64)
+            perms, counts_list, geoms = [], [], []
+            for _ in range(epochs):
+                perm = self._np_rng.permutation(cfg.num_items)
+                part_of = np.empty(cfg.num_items, np.int64)
+                for s in range(s_count):
+                    part_of[perm[bounds[s] : bounds[s + 1]]] = s
+                counts = np.bincount(
+                    part_of[pairs_np[:, 1]], minlength=s_count
+                )
+                perms.append(perm.astype(np.int32))
+                counts_list.append(counts)
+                geoms.append(
+                    self._subepoch_geometry([int(c) for c in counts])
+                )
+            if len({g[0] for g in geoms}) == 1:
+                sub_prep = (
+                    s_count,
+                    geoms[0][0],
+                    max(g[1] for g in geoms),
+                    perms,
+                    counts_list,
+                )
+            else:
+                self._np_rng.bit_generator.state = rng_snapshot
+                sub_eligible = False
+        if not (eligible or sub_eligible):
             losses: list[float] = []
             evals: list[dict] = []
             done = 0
@@ -1264,20 +1322,6 @@ class Engine:
         specs = tuple(parse_metric(m) for m in metrics)
         max_k = max(k for _, k in specs)
         ev = self._evaluator
-        fn_key = (segments, specs, max_k, user_tile)
-        cached = getattr(self, "_run_fn_cache", None)
-        if cached is None or cached[0] != fn_key:
-            fn = make_run_fn(
-                cfg,
-                segments,
-                specs,
-                max_k,
-                user_tile,
-                ev.num_tiles,
-                ev._pad_items,
-            )
-            self._run_fn_cache = (fn_key, fn)
-        fn = self._run_fn_cache[1]
         lrs = jnp.asarray(
             [
                 scheduled_lr(
@@ -1287,25 +1331,99 @@ class Engine:
             ],
             jnp.float32,
         )
-        shuffle_keys, epoch_keys = [], []
-        for _ in range(epochs):
-            shuffle_keys.append(self._next_key())
-            epoch_keys.append(self._next_key())
-        with self.timer.phase("f_b"):
-            self.state, self.sampler_state, loss_sums, mvals = fn(
-                self.state,
-                self.sampler_state,
-                jnp.stack(shuffle_keys),
-                jnp.stack(epoch_keys),
-                lrs,
-                self.pairs,
-                self.his_items,
-                self.his_masks,
-                ev.mask_bits,
-                *self._truth_dev,
+        if sub_eligible:
+            s_count, batch, nb, perms, counts_list = sub_prep
+            fn_key = (
+                segments, specs, max_k, user_tile, s_count, nb, batch,
             )
-            loss_sums = np.asarray(loss_sums)
-            mvals = np.asarray(mvals)
+            cached = getattr(self, "_run_fn_subep_cache", None)
+            if cached is None or cached[0] != fn_key:
+                fn = make_run_fn_subepoch(
+                    cfg,
+                    segments,
+                    specs,
+                    max_k,
+                    user_tile,
+                    ev.num_tiles,
+                    ev._pad_items,
+                    s_count,
+                    nb,
+                    batch,
+                )
+                self._run_fn_subep_cache = (fn_key, fn)
+            fn = self._run_fn_subep_cache[1]
+            # Same key discipline as _run_subepochs_fused_device, epoch
+            # by epoch: per NON-EMPTY bucket one shuffle key (shuffling
+            # modes only) + one epoch key.
+            sks, eks = [], []
+            for counts in counts_list:
+                row_s, row_e = [], []
+                for n in (int(c) for c in counts):
+                    if n == 0:
+                        row_s.append(jax.random.key(0))
+                        row_e.append(jax.random.key(0))
+                        continue
+                    row_s.append(
+                        self._next_key()
+                        if cfg.shuffle_mode != "none"
+                        else jax.random.key(0)
+                    )
+                    row_e.append(self._next_key())
+                sks.append(jnp.stack(row_s))
+                eks.append(jnp.stack(row_e))
+            with self.timer.phase("f_b"):
+                self.state, self.sampler_state, loss_sums, mvals = fn(
+                    self.state,
+                    self.sampler_state,
+                    jnp.stack(sks),
+                    jnp.stack(eks),
+                    lrs,
+                    jnp.asarray(np.stack(perms)),
+                    jnp.asarray(
+                        np.stack(counts_list).astype(np.int32)
+                    ),
+                    self.pairs,
+                    self.his_items,
+                    self.his_masks,
+                    ev.mask_bits,
+                    *self._truth_dev,
+                )
+                loss_sums = np.asarray(loss_sums)
+                mvals = np.asarray(mvals)
+        else:
+            fn_key = (segments, specs, max_k, user_tile)
+            cached = getattr(self, "_run_fn_cache", None)
+            if cached is None or cached[0] != fn_key:
+                fn = make_run_fn(
+                    cfg,
+                    segments,
+                    specs,
+                    max_k,
+                    user_tile,
+                    ev.num_tiles,
+                    ev._pad_items,
+                )
+                self._run_fn_cache = (fn_key, fn)
+            fn = self._run_fn_cache[1]
+            shuffle_keys, epoch_keys = [], []
+            for _ in range(epochs):
+                shuffle_keys.append(self._next_key())
+                epoch_keys.append(self._next_key())
+            with self.timer.phase("f_b"):
+                self.state, self.sampler_state, loss_sums, mvals = fn(
+                    self.state,
+                    self.sampler_state,
+                    jnp.stack(shuffle_keys),
+                    jnp.stack(epoch_keys),
+                    lrs,
+                    self.pairs,
+                    self.his_items,
+                    self.his_masks,
+                    ev.mask_bits,
+                    *self._truth_dev,
+                )
+                loss_sums = np.asarray(loss_sums)
+                mvals = np.asarray(mvals)
         self.epoch += epochs
         losses = [float(s) / max(1, cfg.train_size) for s in loss_sums]
         evals = []

@@ -34,9 +34,54 @@ from heat_tpu.evaluation.metrics import _device_metrics_compute
 from heat_tpu.train.train_step import (
     Batch,
     _refresh_pools,
+    make_subepoch_epoch_impl,
     shuffle_pairs,
     train_step,
 )
+
+
+def _make_eval_state(
+    cfg: CFConfig,
+    specs: tuple[tuple[str, int], ...],
+    max_k: int,
+    user_tile: int,
+    num_tiles: int,
+    pad_items: int,
+):
+    """The inlined eval boundary shared by every fused run program: tiled
+    packed-bitmask exact top-k (evaluator geometry) + on-device metric
+    reduction. Raw-table scoring like evaluate0 (engine.cpp:388-400);
+    column padding (emb_pad) is zero in both tables so scores are
+    unaffected."""
+
+    def eval_state(state, mask_bits, truth, truth_len):
+        u = state.user_emb[: cfg.num_users].astype(jnp.float32)
+        items = state.item_emb[: cfg.num_items].astype(jnp.float32)
+        if pad_items > cfg.num_items:
+            items = jnp.concatenate(
+                [
+                    items,
+                    jnp.zeros(
+                        (pad_items - cfg.num_items, items.shape[1]),
+                        items.dtype,
+                    ),
+                ]
+            )
+        pad_rows = num_tiles * user_tile - cfg.num_users
+        if pad_rows:
+            u = jnp.concatenate(
+                [u, jnp.zeros((pad_rows, u.shape[1]), u.dtype)]
+            )
+        user_tiles = u.reshape(num_tiles, user_tile, -1)
+        dummy = jnp.zeros((num_tiles, 1), jnp.int32)
+        _, ids = topk_all_tiles_impl(
+            user_tiles, items, dummy, dummy, mask_bits,
+            k=max_k, exact=True,
+        )
+        ids = ids.reshape(num_tiles * user_tile, max_k)[: cfg.num_users]
+        return _device_metrics_compute(ids, truth, truth_len, specs)
+
+    return eval_state
 
 
 def make_run_fn(
@@ -71,6 +116,9 @@ def make_run_fn(
     so the loss trajectory is identical to the unfused shape.
     """
     n_evals = sum(1 for _, ev in segments if ev)
+    eval_state = _make_eval_state(
+        cfg, specs, max_k, user_tile, num_tiles, pad_items
+    )
 
     def run_fn(
         state,
@@ -122,37 +170,6 @@ def make_run_fn(
                 state = zero_grad_accumulators(state)
             return (state, sampler_state), jnp.sum(losses)
 
-        def eval_state(state):
-            # Inlined tiled evaluator (packed-bitmask mode), exact top-k.
-            # Raw-table scoring like evaluate0 (engine.cpp:388-400);
-            # column padding (emb_pad) is zero in both tables so scores
-            # are unaffected.
-            u = state.user_emb[: cfg.num_users].astype(jnp.float32)
-            items = state.item_emb[: cfg.num_items].astype(jnp.float32)
-            if pad_items > cfg.num_items:
-                items = jnp.concatenate(
-                    [
-                        items,
-                        jnp.zeros(
-                            (pad_items - cfg.num_items, items.shape[1]),
-                            items.dtype,
-                        ),
-                    ]
-                )
-            pad_rows = num_tiles * user_tile - cfg.num_users
-            if pad_rows:
-                u = jnp.concatenate(
-                    [u, jnp.zeros((pad_rows, u.shape[1]), u.dtype)]
-                )
-            user_tiles = u.reshape(num_tiles, user_tile, -1)
-            dummy = jnp.zeros((num_tiles, 1), jnp.int32)
-            _, ids = topk_all_tiles_impl(
-                user_tiles, items, dummy, dummy, mask_bits,
-                k=max_k, exact=True,
-            )
-            ids = ids.reshape(num_tiles * user_tile, max_k)[: cfg.num_users]
-            return _device_metrics_compute(ids, truth, truth_len, specs)
-
         loss_segs, mvals = [], []
         e0 = 0
         for seg, do_eval in segments:
@@ -168,7 +185,104 @@ def make_run_fn(
             loss_segs.append(seg_losses)
             e0 += seg
             if do_eval:
-                mvals.append(eval_state(state))
+                mvals.append(
+                    eval_state(state, mask_bits, truth, truth_len)
+                )
+        metric_vals = (
+            jnp.stack(mvals)
+            if mvals
+            else jnp.zeros((0, len(specs)), jnp.float32)
+        )
+        return state, sampler_state, jnp.concatenate(loss_segs), metric_vals
+
+    return jax.jit(run_fn, donate_argnums=(0, 1))
+
+
+def make_run_fn_subepoch(
+    cfg: CFConfig,
+    segments: tuple[tuple[int, bool], ...],
+    specs: tuple[tuple[str, int], ...],
+    max_k: int,
+    user_tile: int,
+    num_tiles: int,
+    pad_items: int,
+    s_count: int,
+    nb: int,
+    batch: int,
+):
+    """The fused run program for SUB-EPOCH configs — the reference's
+    actual DEFAULT deployment shape (cf_config.py:7 combines
+    tile_size=1024 with num_subepoches=2; cf/main.py:106-124 interleaves
+    evals): every epoch is the on-device-bucketed sub-epoch program
+    (train_step.make_subepoch_epoch_impl), inlined into per-segment
+    epoch scans with the tiled top-k + metric reduction at each eval
+    boundary — ONE device program for the whole schedule.
+
+    Host-drawn randomness rides in as stacked per-epoch tensors: the
+    item permutations (E, I) — host rng preserved for per-bucket-oracle
+    parity — per-bucket counts (E, S), and per-bucket shuffle/epoch keys
+    (E, S). Key draws match sequential ``train_one_epoch`` calls exactly
+    (numpy perms and jax keys are independent streams, so batching the
+    perm draws first changes neither sequence).
+
+    Returns f(state, sampler_state, shuffle_keys (E, S), epoch_keys
+              (E, S), lrs (E,), perms (E, I), counts (E, S),
+              pairs (N, 2), his_items, his_masks, mask_bits, truth,
+              truth_len)
+        -> (state, sampler_state, loss_sums (E,),
+            metric_vals (n_evals, len(specs)))
+    State and sampler state are donated.
+    """
+    epoch_impl = make_subepoch_epoch_impl(cfg, None, s_count, nb, batch)
+    eval_state = _make_eval_state(
+        cfg, specs, max_k, user_tile, num_tiles, pad_items
+    )
+
+    def run_fn(
+        state,
+        sampler_state,
+        shuffle_keys,
+        epoch_keys,
+        lrs,
+        perms,
+        counts,
+        pairs,
+        his_items,
+        his_masks,
+        mask_bits,
+        truth,
+        truth_len,
+    ):
+        def epoch_body(carry, xs):
+            state, sampler_state = carry
+            sk, ek, lr, perm, cnt = xs
+            state = state.replace(lr=lr)
+            state, sampler_state, loss_sum = epoch_impl(
+                state, sampler_state, sk, ek, perm, cnt,
+                pairs, his_items, his_masks,
+            )
+            return (state, sampler_state), loss_sum
+
+        loss_segs, mvals = [], []
+        e0 = 0
+        for seg, do_eval in segments:
+            (state, sampler_state), seg_losses = jax.lax.scan(
+                epoch_body,
+                (state, sampler_state),
+                (
+                    shuffle_keys[e0 : e0 + seg],
+                    epoch_keys[e0 : e0 + seg],
+                    lrs[e0 : e0 + seg],
+                    perms[e0 : e0 + seg],
+                    counts[e0 : e0 + seg],
+                ),
+            )
+            loss_segs.append(seg_losses)
+            e0 += seg
+            if do_eval:
+                mvals.append(
+                    eval_state(state, mask_bits, truth, truth_len)
+                )
         metric_vals = (
             jnp.stack(mvals)
             if mvals

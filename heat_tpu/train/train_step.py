@@ -825,8 +825,21 @@ def make_subepoch_epoch_fn(cfg: CFConfig, mesh=None):
 def make_subepoch_epoch_fn_device(
     cfg: CFConfig, mesh, s_count: int, nb: int, batch: int
 ):
+    """Jitted wrapper over :func:`make_subepoch_epoch_impl` (state and
+    sampler state donated). See the impl's docstring for the program."""
+    return jax.jit(
+        make_subepoch_epoch_impl(cfg, mesh, s_count, nb, batch),
+        donate_argnums=(0, 1),
+    )
+
+
+def make_subepoch_epoch_impl(
+    cfg: CFConfig, mesh, s_count: int, nb: int, batch: int
+):
     """Sub-epoch epoch with ON-DEVICE bucketing: one device program, one
-    tiny upload (the item permutation) per epoch.
+    tiny upload (the item permutation) per epoch. Returned UNJITTED so
+    the fused full-run program (train/run.py) can inline it into an
+    epochs-scan; ``make_subepoch_epoch_fn_device`` is the jitted form.
 
     The host-packed path (make_subepoch_epoch_fn) uploads every bucket's
     packed batches through the tunnel — ~0.55 s/epoch at AmazonBooks
@@ -1005,7 +1018,7 @@ def make_subepoch_epoch_fn_device(
         )
         return state, sampler_state, jnp.sum(loss_sums)
 
-    return jax.jit(subepoch_epoch_fn, donate_argnums=(0, 1))
+    return subepoch_epoch_fn
 
 
 def make_multi_epoch_stream_fn(cfg: CFConfig, mesh=None):

@@ -641,6 +641,54 @@ def test_run_epochs_with_eval_fused_tile_headline_config(data):
     assert evals_f[0]["Recall(k=20)"] > 0.04  # beats random at 300x500
 
 
+def test_run_epochs_with_eval_fused_subepoch_default_shape(data):
+    """Round 4: the fused full-run program covers SUB-EPOCH configs —
+    the reference's actual DEFAULT deployment shape (cf_config.py:7
+    combines tile_size with num_subepoches=2; cf/main.py:106-124
+    interleaves evals): the whole schedule runs as ONE device program
+    built over the on-device-bucketed epoch program
+    (train/run.make_run_fn_subepoch). Must reproduce the unfused
+    fallback (per-epoch device dispatch + evaluate at boundaries)
+    exactly: same key draws, same losses, same metrics, same final
+    tables and sampler state. batch_size is below every bucket size so
+    the packed width is epoch-invariant (the production regime)."""
+    train, test = data
+    kw = dict(
+        num_subepochs=2, batch_size=64, neg_sampler=1, tile_size=32,
+        refresh_interval=256,
+    )
+    mets = ["Recall(k=20)", "NDCG(k=20)"]
+    e_fused = Engine(small_cfg(**kw), train, test, seed=5)
+    losses_f, evals_f = e_fused.run_epochs_with_eval(5, 2, metrics=mets)
+    # Guard against a silent fall-back to the unfused shape.
+    assert getattr(e_fused, "_run_fn_subep_cache", None) is not None
+    e_seq = Engine(small_cfg(**kw), train, test, seed=5)
+    losses_s, evals_s = e_seq.run_epochs_with_eval(
+        5, 2, metrics=mets, fused=False
+    )
+    np.testing.assert_allclose(losses_f, losses_s, rtol=1e-5)
+    assert [ev["epoch"] for ev in evals_f] == [2, 4]
+    assert [ev["epoch"] for ev in evals_s] == [2, 4]
+    for ef, es in zip(evals_f, evals_s):
+        for m in mets:
+            np.testing.assert_allclose(ef[m], es[m], rtol=1e-5)
+    assert e_fused.epoch == e_seq.epoch == 5
+    np.testing.assert_allclose(
+        np.asarray(e_fused.state.user_emb),
+        np.asarray(e_seq.state.user_emb),
+        rtol=1e-5, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(e_fused.state.item_emb),
+        np.asarray(e_seq.state.item_emb),
+        rtol=1e-5, atol=1e-7,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(e_fused.sampler_state.tile),
+        np.asarray(e_seq.sampler_state.tile),
+    )
+
+
 def test_subepoch_fused_matches_per_bucket_tile_sampler(data):
     """Round 4: the fused sub-epoch program now covers the TILE sampler
     (the reference's defaults combine tile_size with num_subepoches,
