@@ -115,7 +115,6 @@ def make_run_fn(
     / sequential ``train_one_epoch`` calls exactly (evals draw nothing),
     so the loss trajectory is identical to the unfused shape.
     """
-    n_evals = sum(1 for _, ev in segments if ev)
     eval_state = _make_eval_state(
         cfg, specs, max_k, user_tile, num_tiles, pad_items
     )

@@ -325,3 +325,38 @@ def test_fused_full_run_matches_unfused_on_chip():
     for ef, es in zip(evals_f, evals_s):
         for m in kw["metrics"]:
             np.testing.assert_allclose(ef[m], es[m], rtol=1e-5, atol=1e-6)
+
+
+def test_fused_full_run_subepoch_matches_unfused_on_chip():
+    """Round 4: the fused full-run program over the on-device-bucketed
+    sub-epoch epoch (train/run.make_run_fn_subepoch — the reference's
+    DEFAULT shape: tile sampler + num_subepoches, cf_config.py:7, with
+    interleaved evals) must match the unfused fallback ON CHIP: the
+    device-side stable partition sort, dynamic bucket windows, padded
+    weight-0 batches, and the inlined bitmask top-k all exercise
+    TPU-only layout/precision paths the CPU equivalence test cannot."""
+    train, test = synthetic_click_dataset(
+        num_users=3000, num_items=5000, clicks_per_user=24, max_his=10,
+        seed=17,
+    )
+    kw = dict(
+        emb_dim=32, num_negs=8, max_his=10, batch_size=1024, l_r=0.05,
+        clip_val=1.0, seed=6, num_subepochs=2, neg_sampler=1,
+        tile_size=128, refresh_interval=2048,
+        metrics=["Recall(k=20)", "NDCG(k=20)"],
+    )
+    e_fused = Engine(CFConfig(**kw), train, test, seed=5)
+    losses_f, evals_f = e_fused.run_epochs_with_eval(3, 2)
+    assert getattr(e_fused, "_run_fn_subep_cache", None) is not None
+    e_seq = Engine(CFConfig(**kw), train, test, seed=5)
+    losses_s, evals_s = e_seq.run_epochs_with_eval(3, 2, fused=False)
+    np.testing.assert_allclose(losses_f, losses_s, rtol=1e-5)
+    assert [e["epoch"] for e in evals_f] == [e["epoch"] for e in evals_s]
+    for ef, es in zip(evals_f, evals_s):
+        for m in kw["metrics"]:
+            np.testing.assert_allclose(ef[m], es[m], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(e_fused.state.item_emb, np.float32),
+        np.asarray(e_seq.state.item_emb, np.float32),
+        rtol=1e-4, atol=1e-6,
+    )
