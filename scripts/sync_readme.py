@@ -86,6 +86,15 @@ def build_table(r: dict) -> str:
                 f"({x('full_run_fused_vs_baseline')})"
                 if s("full_run_fused_s") is not None
                 else ""
+            )
+            + (
+                f"; at the reference's DEFAULT config shape (tile + 2 "
+                f"sub-epochs): {s('full_run_default_s'):.3f} s unfused, "
+                f"**{s('full_run_default_fused_s'):.3f} s "
+                f"({x('full_run_default_fused_vs_baseline')})** as ONE "
+                f"device program"
+                if s("full_run_default_fused_s") is not None
+                else ""
             ),
         )
     add(
