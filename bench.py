@@ -412,6 +412,15 @@ def main() -> None:
         refresh_interval=8192, num_subepochs=2, compute_dtype="bfloat16",
         param_dtype="bfloat16", update_mode="direct",
     )
+    # Same shape, 5 epochs per device program (train_epochs routes
+    # sub-epoch configs through an epochs-scan over the bucketed epoch,
+    # round 4): amortizes the ~30 ms per-epoch dispatch.
+    subep_tile_f5_s, _ = time_epochs(
+        "subepoch", dataset, reps=2, fused=5, neg_sampler=1,
+        tile_size=512, refresh_interval=8192, num_subepochs=2,
+        compute_dtype="bfloat16", param_dtype="bfloat16",
+        update_mode="direct",
+    )
     # Accumulator update mode (f32 grad accumulation + dense apply pass):
     # the previous headline, kept as the update-path A/B.
     fast_s, fast_times = time_epochs(
@@ -604,6 +613,10 @@ def main() -> None:
         "throughput65k_s": round(fast65k_s, 4),
         "throughput65k_vs_baseline": round(BASELINE_EPOCH_S / fast65k_s, 2),
         "heavy_d256_negs64_s": round(heavy_s, 4),
+        "subepoch2_tile_fused5_s": round(subep_tile_f5_s, 4),
+        "subepoch2_tile_fused5_vs_baseline": round(
+            BASELINE_EPOCH_S / subep_tile_f5_s, 2
+        ),
         "subepoch2_tile_s": round(subep_tile_s, 4),
         "subepoch2_tile_vs_baseline": round(
             BASELINE_EPOCH_S / subep_tile_s, 2

@@ -456,6 +456,72 @@ class Engine:
         self._subep_geom = (batch, need_nb + 1 + need_nb // 16)
         return self._subep_geom
 
+    def _subepoch_multi_prep(self, epochs: int):
+        """Host prep for an E-epoch fused sub-epoch program, mirroring
+        train_one_epoch's per-epoch work: item permutation (host rng —
+        per-bucket-oracle parity), bucket counts, grow-only geometry.
+        The packed batch width must be epoch-invariant for one program
+        (production buckets >> batch_size always are); if bucket jitter
+        would change it, the rng is REWOUND and None returned so the
+        caller falls back to per-epoch dispatch with identical draws.
+
+        Returns (s_count, batch, nb, perms, counts_list) or None."""
+        cfg = self.cfg
+        rng_snapshot = self._np_rng.bit_generator.state
+        s_count = cfg.num_subepochs
+        pairs_np = np.asarray(self.pairs)
+        bounds = np.linspace(
+            0, cfg.num_items, s_count + 1
+        ).astype(np.int64)
+        perms, counts_list, geoms = [], [], []
+        for _ in range(epochs):
+            perm = self._np_rng.permutation(cfg.num_items)
+            part_of = np.empty(cfg.num_items, np.int64)
+            for s in range(s_count):
+                part_of[perm[bounds[s] : bounds[s + 1]]] = s
+            counts = np.bincount(
+                part_of[pairs_np[:, 1]], minlength=s_count
+            )
+            perms.append(perm.astype(np.int32))
+            counts_list.append(counts)
+            geoms.append(
+                self._subepoch_geometry([int(c) for c in counts])
+            )
+        if len({g[0] for g in geoms}) != 1:
+            self._np_rng.bit_generator.state = rng_snapshot
+            return None
+        return (
+            s_count,
+            geoms[0][0],
+            max(g[1] for g in geoms),
+            perms,
+            counts_list,
+        )
+
+    def _subepoch_draw_keys(self, counts_list):
+        """Stacked (E, S) shuffle/epoch keys with the same draw
+        discipline as ``_run_subepochs_fused_device``, epoch by epoch:
+        per NON-EMPTY bucket one shuffle key (shuffling modes only) +
+        one epoch key; empty buckets consume no draws."""
+        cfg = self.cfg
+        sks, eks = [], []
+        for counts in counts_list:
+            row_s, row_e = [], []
+            for n in (int(c) for c in counts):
+                if n == 0:
+                    row_s.append(jax.random.key(0))
+                    row_e.append(jax.random.key(0))
+                    continue
+                row_s.append(
+                    self._next_key()
+                    if cfg.shuffle_mode != "none"
+                    else jax.random.key(0)
+                )
+                row_e.append(self._next_key())
+            sks.append(jnp.stack(row_s))
+            eks.append(jnp.stack(row_e))
+        return jnp.stack(sks), jnp.stack(eks)
+
     def _shuffle_or_pack_padded(self, pairs_padded, n: int, num_batches: int,
                                 batch: int):
         """``_shuffle_or_pack`` over a host-padded bucket (shape-static;
@@ -996,12 +1062,29 @@ class Engine:
         (VERDICT r2 item 1): fixed streams ("none"/"once") pack once and
         reuse (``_train_epochs_fixed``); "epoch" mode packs each host's
         per-epoch shuffles up front and scans the stacked stream
-        (``_train_epochs_stream``). Sub-epoch partitioning loops per epoch
-        here (its pair bucketing is per-epoch host work), but each of
-        those epochs is itself ONE dispatch covering all S sub-epochs
-        (``_run_subepochs_fused``) for uniform-sampler SGD configs.
+        (``_train_epochs_stream``). Sub-epoch partitioning (the
+        reference's DEFAULT shape) fuses all ``n`` epochs into one
+        program too on the single-process path
+        (``_train_epochs_subepoch_fused`` — an epochs-scan over the
+        on-device-bucketed epoch); multi-host sub-epoch runs loop per
+        epoch, each epoch itself ONE dispatch covering all S sub-epochs
+        (``_run_subepochs_fused``).
         """
         cfg = self.cfg
+        if (
+            n > 1
+            and cfg.num_subepochs > 1
+            and self._fuse_subepochs
+            and not self._multiprocess
+            and self.mesh is None
+            and int(self.pairs.shape[0]) > 0
+        ):
+            # Sub-epoch configs (the reference's DEFAULT shape) get the
+            # same one-dispatch-per-E-epochs amortization: an
+            # epochs-scan over the on-device-bucketed epoch program.
+            out = self._train_epochs_subepoch_fused(n)
+            if out is not None:
+                return out
         if n <= 1 or cfg.num_subepochs > 1 or (
             not self._multiprocess and int(self.pairs.shape[0]) == 0
         ):
@@ -1052,6 +1135,63 @@ class Engine:
             loss_sums = np.asarray(loss_sums)
         self.epoch += n
         return [float(s) / max(1, cfg.train_size) for s in loss_sums]
+
+    def _train_epochs_subepoch_fused(self, n: int):
+        """``n`` sub-epoch epochs as ONE device program
+        (train_step.make_subepoch_multi_epoch_fn): the ``--fused-epochs``
+        amortization at the reference's DEFAULT config shape. Key/perm
+        draws match ``n`` sequential ``train_one_epoch`` calls exactly
+        (numpy perms and jax keys are independent streams). Returns None
+        (rng rewound, nothing consumed beyond the rewind) when the
+        epoch-invariant-geometry precondition fails, so the caller falls
+        back to per-epoch dispatch."""
+        from heat_tpu.train.train_step import make_subepoch_multi_epoch_fn
+
+        cfg = self.cfg
+        with self.timer.phase("data"):
+            prep = self._subepoch_multi_prep(n)
+            if prep is None:
+                return None
+            s_count, batch, nb, perms, counts_list = prep
+            sks, eks = self._subepoch_draw_keys(counts_list)
+            lrs = jnp.asarray(
+                [
+                    scheduled_lr(
+                        cfg.l_r, self.epoch + i, cfg.milestones,
+                        cfg.lr_gamma,
+                    )
+                    for i in range(n)
+                ],
+                jnp.float32,
+            )
+        fn_key = (s_count, nb, batch)
+        cached = getattr(self, "_subep_multi_cache", None)
+        if cached is None or cached[0] != fn_key:
+            self._subep_multi_cache = (
+                fn_key,
+                make_subepoch_multi_epoch_fn(
+                    cfg, self.mesh, s_count, nb, batch
+                ),
+            )
+        fn = self._subep_multi_cache[1]
+        with self.timer.phase("f_b"):
+            self.state, self.sampler_state, loss_sums = fn(
+                self.state,
+                self.sampler_state,
+                sks,
+                eks,
+                lrs,
+                jnp.asarray(np.stack(perms)),
+                jnp.asarray(np.stack(counts_list).astype(np.int32)),
+                self.pairs,
+                self.his_items,
+                self.his_masks,
+            )
+            loss_sums = np.asarray(loss_sums)
+        self.epoch += n
+        return [
+            float(s) / max(1, cfg.train_size) for s in loss_sums
+        ]
 
     def _train_epochs_fixed(self, n: int) -> list[float]:
         """Fused multi-epoch path for fixed batch streams (shuffle_mode
@@ -1266,43 +1406,8 @@ class Engine:
             eligible = eligible and ok
             sub_eligible = sub_eligible and ok
         if sub_eligible:
-            # Host prep mirrors train_one_epoch's sub-epoch work per
-            # epoch: perm (host rng — per-bucket-oracle parity), counts,
-            # grow-only geometry. The packed batch width must be
-            # epoch-invariant for the fused program (production buckets
-            # >> batch_size always are); if bucket jitter would change
-            # it, rewind the rng and fall back to the unfused shape.
-            rng_snapshot = self._np_rng.bit_generator.state
-            s_count = cfg.num_subepochs
-            pairs_np = np.asarray(self.pairs)
-            bounds = np.linspace(
-                0, cfg.num_items, s_count + 1
-            ).astype(np.int64)
-            perms, counts_list, geoms = [], [], []
-            for _ in range(epochs):
-                perm = self._np_rng.permutation(cfg.num_items)
-                part_of = np.empty(cfg.num_items, np.int64)
-                for s in range(s_count):
-                    part_of[perm[bounds[s] : bounds[s + 1]]] = s
-                counts = np.bincount(
-                    part_of[pairs_np[:, 1]], minlength=s_count
-                )
-                perms.append(perm.astype(np.int32))
-                counts_list.append(counts)
-                geoms.append(
-                    self._subepoch_geometry([int(c) for c in counts])
-                )
-            if len({g[0] for g in geoms}) == 1:
-                sub_prep = (
-                    s_count,
-                    geoms[0][0],
-                    max(g[1] for g in geoms),
-                    perms,
-                    counts_list,
-                )
-            else:
-                self._np_rng.bit_generator.state = rng_snapshot
-                sub_eligible = False
+            sub_prep = self._subepoch_multi_prep(epochs)
+            sub_eligible = sub_prep is not None
         if not (eligible or sub_eligible):
             losses: list[float] = []
             evals: list[dict] = []
@@ -1352,31 +1457,13 @@ class Engine:
                 )
                 self._run_fn_subep_cache = (fn_key, fn)
             fn = self._run_fn_subep_cache[1]
-            # Same key discipline as _run_subepochs_fused_device, epoch
-            # by epoch: per NON-EMPTY bucket one shuffle key (shuffling
-            # modes only) + one epoch key.
-            sks, eks = [], []
-            for counts in counts_list:
-                row_s, row_e = [], []
-                for n in (int(c) for c in counts):
-                    if n == 0:
-                        row_s.append(jax.random.key(0))
-                        row_e.append(jax.random.key(0))
-                        continue
-                    row_s.append(
-                        self._next_key()
-                        if cfg.shuffle_mode != "none"
-                        else jax.random.key(0)
-                    )
-                    row_e.append(self._next_key())
-                sks.append(jnp.stack(row_s))
-                eks.append(jnp.stack(row_e))
+            sks, eks = self._subepoch_draw_keys(counts_list)
             with self.timer.phase("f_b"):
                 self.state, self.sampler_state, loss_sums, mvals = fn(
                     self.state,
                     self.sampler_state,
-                    jnp.stack(sks),
-                    jnp.stack(eks),
+                    sks,
+                    eks,
                     lrs,
                     jnp.asarray(np.stack(perms)),
                     jnp.asarray(

@@ -833,6 +833,58 @@ def make_subepoch_epoch_fn_device(
     )
 
 
+def make_subepoch_multi_epoch_fn(
+    cfg: CFConfig, mesh, s_count: int, nb: int, batch: int
+):
+    """E sub-epoch epochs as ONE device program: an epochs-scan over the
+    on-device-bucketed epoch (:func:`make_subepoch_epoch_impl`) — the
+    ``--fused-epochs`` amortization for the reference's DEFAULT config
+    shape (cf_config.py:7 combines tile_size with num_subepoches; the
+    per-epoch dispatch costs ~30 ms through the tunnel at a ~0.36 s
+    epoch). Per-epoch host randomness (item permutations, bucket counts,
+    per-bucket keys) rides in stacked, exactly as in the fused full-run
+    program (train/run.make_run_fn_subepoch).
+
+    Returns f(state, sampler_state, shuffle_keys (E, S), epoch_keys
+              (E, S), lrs (E,), perms (E, I), counts (E, S),
+              pairs (N, 2), his_items, his_masks)
+        -> (state, sampler_state, loss_sums (E,))
+    State and sampler state are donated.
+    """
+    epoch_impl = make_subepoch_epoch_impl(cfg, mesh, s_count, nb, batch)
+
+    def multi_epoch_fn(
+        state,
+        sampler_state,
+        shuffle_keys,
+        epoch_keys,
+        lrs,
+        perms,
+        counts,
+        pairs,
+        his_items,
+        his_masks,
+    ):
+        def epoch_body(carry, xs):
+            state, sampler_state = carry
+            sk, ek, lr, perm, cnt = xs
+            state = state.replace(lr=lr)
+            state, sampler_state, loss_sum = epoch_impl(
+                state, sampler_state, sk, ek, perm, cnt,
+                pairs, his_items, his_masks,
+            )
+            return (state, sampler_state), loss_sum
+
+        (state, sampler_state), loss_sums = jax.lax.scan(
+            epoch_body,
+            (state, sampler_state),
+            (shuffle_keys, epoch_keys, lrs, perms, counts),
+        )
+        return state, sampler_state, loss_sums
+
+    return jax.jit(multi_epoch_fn, donate_argnums=(0, 1))
+
+
 def make_subepoch_epoch_impl(
     cfg: CFConfig, mesh, s_count: int, nb: int, batch: int
 ):

@@ -163,7 +163,13 @@ def build_table(r: dict) -> str:
         None
         if s("subepoch2_tile_s") is None
         else f"**{s('subepoch2_tile_s'):.3f} s "
-        f"({x('subepoch2_tile_vs_baseline')})**",
+        f"({x('subepoch2_tile_vs_baseline')})**"
+        + (
+            f"; 5 epochs/dispatch: {s('subepoch2_tile_fused5_s'):.3f} s "
+            f"({x('subepoch2_tile_fused5_vs_baseline')})"
+            if s("subepoch2_tile_fused5_s") is not None
+            else ""
+        ),
     )
     add(
         "same, all-f32 fast mode",

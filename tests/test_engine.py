@@ -641,6 +641,46 @@ def test_run_epochs_with_eval_fused_tile_headline_config(data):
     assert evals_f[0]["Recall(k=20)"] > 0.04  # beats random at 300x500
 
 
+def test_train_epochs_subepoch_fused_matches_sequential(data):
+    """Round 4: ``train_epochs`` fuses n sub-epoch epochs into ONE
+    device program (an epochs-scan over the on-device-bucketed epoch,
+    train_step.make_subepoch_multi_epoch_fn). Must match n sequential
+    ``train_one_epoch`` calls exactly — same perm/key draws (independent
+    numpy/jax streams), same losses, tables, and sampler state.
+    batch_size is below every bucket size so the packed width is
+    epoch-invariant (the production regime)."""
+    train, test = data
+    kw = dict(
+        num_subepochs=2, batch_size=64, neg_sampler=1, tile_size=32,
+        refresh_interval=256,
+    )
+    e_fused = Engine(small_cfg(**kw), train, test, seed=9)
+    fused = e_fused.train_epochs(3)
+    # Guard against a silent fall-back to per-epoch dispatch.
+    assert getattr(e_fused, "_subep_multi_cache", None) is not None
+    e_seq = Engine(small_cfg(**kw), train, test, seed=9)
+    seq = [e_seq.train_one_epoch() for _ in range(3)]
+    np.testing.assert_allclose(fused, seq, rtol=1e-6)
+    assert e_fused.epoch == e_seq.epoch == 3
+    np.testing.assert_allclose(
+        np.asarray(e_fused.state.user_emb),
+        np.asarray(e_seq.state.user_emb),
+        rtol=1e-5, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(e_fused.state.item_emb),
+        np.asarray(e_seq.state.item_emb),
+        rtol=1e-5, atol=1e-7,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(e_fused.sampler_state.tile),
+        np.asarray(e_seq.sampler_state.tile),
+    )
+    assert int(e_fused.sampler_state.iterations) == int(
+        e_seq.sampler_state.iterations
+    )
+
+
 def test_run_epochs_with_eval_fused_subepoch_default_shape(data):
     """Round 4: the fused full-run program covers SUB-EPOCH configs —
     the reference's actual DEFAULT deployment shape (cf_config.py:7
