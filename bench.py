@@ -373,6 +373,9 @@ def time_eval(dataset: ClickDataset, truth_ids=None, exact_only=False):
 
 def main() -> None:
     global BATCH, EMB_DIM, NUM_NEGS, NUM_USERS, NUM_ITEMS, TRAIN_SIZE
+    from heat_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # repeat runs skip the remote re-compiles
     dataset = make_dataset(np.random.default_rng(0))
     # Headline mode: tile sampler + cached history means + bf16 tables AND
     # bf16 scoring + update_mode="direct" (per-occurrence scatter-add

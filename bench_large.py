@@ -64,6 +64,9 @@ def make_dataset(
 
 
 def main() -> None:
+    from heat_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # repeat runs skip the remote re-compiles
     p = argparse.ArgumentParser()
     p.add_argument("--users", type=int, default=16_000_000)
     p.add_argument("--items", type=int, default=6_000_000)

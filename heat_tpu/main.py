@@ -141,6 +141,13 @@ def main(argv=None) -> None:
 
     import jax
 
+    # Persistent XLA compilation cache: repeat CLI runs skip the
+    # ~60-120 s remote re-compiles of the epoch/eval programs
+    # (utils/cache.py; HEAT_TPU_NO_COMPILATION_CACHE=1 disables).
+    from heat_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if args.synthetic:
         num_users, num_items = (int(x) for x in args.synthetic.split(","))
         train_data, test_data = synthetic_click_dataset(
