@@ -125,6 +125,17 @@ class CFConfig:
     eval_interval: int = 2
     num_subepochs: int = 1      # item-column partitioning rounds per epoch
                                 # (engine.cpp:108-121; reference default 2)
+    # Negative-sampling scope in sub-epoch mode. "global" (default) draws
+    # negatives from the FULL item space; "complement" constrains them to
+    # the current partition's complement (the reference's written intent,
+    # engine.cpp:222-238). Measured at AmazonBooks scale (DESIGN.md 6g),
+    # complement at S=2 DOUBLES per-item negative pressure and collapses
+    # training (Recall@20 0.0006 vs 0.0122 global / 0.0126 exact); the
+    # reference's own implementation dodges this only because its
+    # sub-epoch sampler degenerates to num_negs FIXED ids per half-epoch.
+    # "complement" is kept for strict-parity studies and locality-
+    # constrained model-parallel layouts.
+    subepoch_neg_scope: str = "global"  # "global" | "complement"
     batch_size: int = 8192
     # Positive-sample order. "epoch": reshuffle every epoch (the upstream
     # OpenMP path's random_shuffle order, shuffle.hpp:13-48 — the published
@@ -171,6 +182,10 @@ class CFConfig:
             raise ValueError(f"unknown loss {self.loss!r}")
         if self.his_refresh not in ("step", "subepoch"):
             raise ValueError(f"unknown his_refresh {self.his_refresh!r}")
+        if self.subepoch_neg_scope not in ("global", "complement"):
+            raise ValueError(
+                f"unknown subepoch_neg_scope {self.subepoch_neg_scope!r}"
+            )
         if self.shuffle_mode not in ("epoch", "once", "none"):
             raise ValueError(f"unknown shuffle_mode {self.shuffle_mode!r}")
         if self.aggregator not in ("mean", "self_attention", "user_attention"):
@@ -248,6 +263,7 @@ _MODEL_KEY_MAP = {
     "batch_size": "batch_size",
     "num_subepochs": "num_subepochs",
     "num_subepoches": "num_subepochs",  # reference spelling (cf_config.py:8)
+    "subepoch_neg_scope": "subepoch_neg_scope",
     "sgd_mode": "sgd_mode",
     "update_mode": "update_mode",
     "shuffle_mode": "shuffle_mode",

@@ -825,7 +825,10 @@ class Engine:
                 # tests flip _fuse_subepochs off to compare).
                 for bucket, complement in zip(buckets, complements):
                     total_loss += self._run_pairs(
-                        jnp.asarray(bucket), jnp.asarray(complement)
+                        jnp.asarray(bucket),
+                        jnp.asarray(complement)
+                        if cfg.subepoch_neg_scope == "complement"
+                        else None,
                     )
                     if cfg.sgd_mode == SGD_MODE_ACCUM:
                         self.state = zero_grad_accumulators(self.state)

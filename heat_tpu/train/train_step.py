@@ -777,6 +777,11 @@ def make_subepoch_epoch_fn(cfg: CFConfig, mesh=None):
             pos = jax.lax.with_sharding_constraint(pos, batch_sh)
             weight = jax.lax.with_sharding_constraint(weight, batch_sh)
 
+        # "global" scope (the accuracy-safe default — DESIGN.md 6g)
+        # ignores the pool operands: negatives draw from the full item
+        # space, same key stream (draw counts are scope-invariant).
+        constrain = cfg.subepoch_neg_scope == "complement"
+
         def sub_body(carry, xs):
             state, sampler_state = carry
             k_epoch, s_users, s_pos, s_weight, pool, pool_size = xs
@@ -794,8 +799,8 @@ def make_subepoch_epoch_fn(cfg: CFConfig, mesh=None):
                     his_items,
                     his_masks,
                     cfg,
-                    neg_candidates=pool,
-                    neg_candidates_size=pool_size,
+                    neg_candidates=pool if constrain else None,
+                    neg_candidates_size=pool_size if constrain else None,
                     user_means=user_means,
                 )
                 return (st, ss), loss
@@ -976,27 +981,35 @@ def make_subepoch_epoch_impl(
             [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)]
         )[:-1]
         # 4's pool: complement of each partition in PERM order (static
-        # bounds — identical to the host path's pools_np).
-        pools = jnp.stack(
-            [
-                jnp.concatenate(
-                    [perm[: bounds[s]], perm[bounds[s + 1] :]]
-                    + (
-                        [
-                            jnp.broadcast_to(
-                                perm[:1], (c_max - pool_sizes_static[s],)
-                            )
-                        ]
-                        if c_max > pool_sizes_static[s]
-                        else []
+        # bounds — identical to the host path's pools_np). Only built in
+        # "complement" scope; the "global" default (DESIGN.md 6g) draws
+        # negatives from the full item space with the same key stream.
+        constrain = cfg.subepoch_neg_scope == "complement"
+        if constrain:
+            pools = jnp.stack(
+                [
+                    jnp.concatenate(
+                        [perm[: bounds[s]], perm[bounds[s + 1] :]]
+                        + (
+                            [
+                                jnp.broadcast_to(
+                                    perm[:1],
+                                    (c_max - pool_sizes_static[s],),
+                                )
+                            ]
+                            if c_max > pool_sizes_static[s]
+                            else []
+                        )
                     )
-                )
-                for s in range(s_count)
-            ]
-        )
-        pool_sizes = jnp.asarray(
-            [max(1, p) for p in pool_sizes_static], jnp.int32
-        )
+                    for s in range(s_count)
+                ]
+            )
+            pool_sizes = jnp.asarray(
+                [max(1, p) for p in pool_sizes_static], jnp.int32
+            )
+        else:
+            pools = jnp.zeros((s_count, 1), jnp.int32)
+            pool_sizes = jnp.ones((s_count,), jnp.int32)
 
         def sub_body(carry, xs):
             state, sampler_state = carry
@@ -1041,8 +1054,10 @@ def make_subepoch_epoch_impl(
                 k, u, p, w = bxs
                 st, ss, loss = train_step(
                     st, ss, k, Batch(u, p, w), his_items, his_masks, cfg,
-                    neg_candidates=pool,
-                    neg_candidates_size=pool_size,
+                    neg_candidates=pool if constrain else None,
+                    neg_candidates_size=(
+                        pool_size if constrain else None
+                    ),
                     user_means=user_means,
                 )
                 return (st, ss), loss

@@ -57,11 +57,22 @@ def run(
             neg_sampler=1, tile_size=tile, refresh_interval=refresh,
             his_refresh="subepoch", update_mode="direct",
         )
+    elif mode == "default":
+        # The reference's DEFAULT config combination (cf_config.py:7):
+        # tile sampler + num_subepoches=2 — partition-complement
+        # negatives, per-sub-epoch history refresh, direct updates.
+        # Exercises the round-4 on-device-bucketed fused sub-epoch
+        # epoch at full scale.
+        kw = dict(
+            neg_sampler=1, tile_size=tile, refresh_interval=refresh,
+            his_refresh="subepoch", update_mode="direct",
+            num_subepochs=2,
+        )
     elif mode == "exact":
         kw = dict(neg_sampler=0, his_refresh="step")
     else:
         raise SystemExit(
-            f"unknown mode {mode!r} (expected fast|direct|exact)"
+            f"unknown mode {mode!r} (expected fast|direct|default|exact)"
         )
     cfg = CFConfig(
         emb_dim=64, num_negs=16, max_his=100, batch_size=batch_size,

@@ -136,7 +136,15 @@ def worker(
         # a same-seeded RNG and must agree across hosts.
         from jax.experimental import multihost_utils
 
-        cfg_sub = CFConfig(**dict(kw, num_subepochs=2))
+        # Complement scope pins the old tight 2-proc-vs-1-proc loss
+        # bands (global-scope negatives at this tiny demo scale add
+        # first-epoch draw variance) and keeps the opt-in constrained
+        # path (DESIGN.md 6g) exercised in a REAL 2-process run.
+        cfg_sub = CFConfig(
+            **dict(
+                kw, num_subepochs=2, subepoch_neg_scope="complement"
+            )
+        )
         eng = Engine(cfg_sub, local_train, local_test, mesh=mesh)
         losses = [eng.train_one_epoch() for _ in range(3)]
         assert all(np.isfinite(l) for l in losses), losses

@@ -641,6 +641,43 @@ def test_run_epochs_with_eval_fused_tile_headline_config(data):
     assert evals_f[0]["Recall(k=20)"] > 0.04  # beats random at 300x500
 
 
+def test_subepoch_complement_scope_fused_matches_per_bucket(data):
+    """subepoch_neg_scope="complement" (the reference's written
+    constraint, engine.cpp:222-238 — opt-in after the DESIGN.md 6g
+    collapse finding; the DEFAULT is "global") still has exact
+    fused == per-bucket equivalence, and its negatives genuinely come
+    from the partition complement (different trajectories than
+    global scope on the same seed)."""
+    train, test = data
+    kw = dict(
+        num_subepochs=3, batch_size=64, neg_sampler=1, tile_size=32,
+        refresh_interval=256, subepoch_neg_scope="complement",
+    )
+    e_fused = Engine(small_cfg(**kw), train, test, seed=5)
+    fused = [e_fused.train_one_epoch() for _ in range(2)]
+    e_seq = Engine(small_cfg(**kw), train, test, seed=5)
+    e_seq._fuse_subepochs = False
+    seq = [e_seq.train_one_epoch() for _ in range(2)]
+    np.testing.assert_allclose(fused, seq, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(e_fused.state.user_emb),
+        np.asarray(e_seq.state.user_emb),
+        rtol=1e-5, atol=1e-7,
+    )
+    # Scope changes the math (same key draws, different candidate map).
+    e_glob = Engine(
+        small_cfg(**{**kw, "subepoch_neg_scope": "global"}),
+        train, test, seed=5,
+    )
+    glob = [e_glob.train_one_epoch() for _ in range(2)]
+    assert abs(glob[0] - fused[0]) > 1e-6
+
+
+def test_subepoch_neg_scope_validation():
+    with pytest.raises(ValueError, match="subepoch_neg_scope"):
+        CFConfig(emb_dim=16, subepoch_neg_scope="nope")
+
+
 def test_train_epochs_subepoch_fused_matches_sequential(data):
     """Round 4: ``train_epochs`` fuses n sub-epoch epochs into ONE
     device program (an epochs-scan over the on-device-bucketed epoch,
