@@ -157,8 +157,11 @@ def build_table(r: dict) -> str:
     )
     add(
         "sub-epoch mode at the reference's DEFAULT combination (tile "
-        "sampler + `num_subepochs: 2`, partition-complement negatives — "
-        "cf_config.py:7 pairs them), one fused device program per epoch",
+        "sampler + `num_subepochs: 2` — cf_config.py:7 pairs them), one "
+        "fused device program per epoch; negatives global-scope by "
+        "default (full-scale Recall@20 0.0122 vs 0.0126 exact — the "
+        "reference's written complement constraint measurably collapses "
+        "training at S=2, DESIGN.md 6g; opt-in via `subepoch_neg_scope`)",
         "~245 s",
         None
         if s("subepoch2_tile_s") is None
