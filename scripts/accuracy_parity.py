@@ -43,6 +43,9 @@ def run(
     batch_size: int = 8192,
     l_r: float = 0.01,
     tile: int = 512,
+    dim: int = 64,
+    negs: int = 16,
+    clip: float = 1.0,
 ) -> dict:
     refresh = max(8192, batch_size)  # tile refresh counts samples; keep
     # the per-batch cadence of the 8192 headline (refresh every step)
@@ -59,10 +62,10 @@ def run(
         )
     elif mode == "default":
         # The reference's DEFAULT config combination (cf_config.py:7):
-        # tile sampler + num_subepoches=2 — partition-complement
-        # negatives, per-sub-epoch history refresh, direct updates.
-        # Exercises the round-4 on-device-bucketed fused sub-epoch
-        # epoch at full scale.
+        # tile sampler + num_subepoches=2 — global-scope negatives (the
+        # default after the DESIGN.md 6g collapse finding), per-sub-epoch
+        # history refresh, direct updates. Exercises the round-4
+        # on-device-bucketed fused sub-epoch epoch at full scale.
         kw = dict(
             neg_sampler=1, tile_size=tile, refresh_interval=refresh,
             his_refresh="subepoch", update_mode="direct",
@@ -75,8 +78,8 @@ def run(
             f"unknown mode {mode!r} (expected fast|direct|default|exact)"
         )
     cfg = CFConfig(
-        emb_dim=64, num_negs=16, max_his=100, batch_size=batch_size,
-        l_r=l_r, clip_val=1.0, milestones=[10], seed=seed,
+        emb_dim=dim, num_negs=negs, max_his=100, batch_size=batch_size,
+        l_r=l_r, clip_val=clip, milestones=[10], seed=seed,
         metrics=METRICS, compute_dtype=dtype, param_dtype=param_dtype, **kw,
     )
     eng = Engine(cfg, train, test)
@@ -108,6 +111,12 @@ def main() -> None:
         help="learning rate (the 16384-batch throughput mode uses 0.02 — "
         "linear batch scaling)",
     )
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--negs", type=int, default=16)
+    ap.add_argument(
+        "--clip", type=float, default=1.0,
+        help="gradient clip (the Yelp18/Gowalla shapes use 0.1)",
+    )
     ap.add_argument(
         "--tile", type=int, default=512,
         help="tile sampler size for fast/direct modes; <=0 auto-derives "
@@ -126,7 +135,8 @@ def main() -> None:
         param_dtype = parts[2] if len(parts) > 2 else "float32"
         out[spec] = run(
             mode, train, test, args.epochs, dtype, param_dtype, args.seed,
-            args.batch, args.lr, args.tile,
+            args.batch, args.lr, args.tile, args.dim, args.negs,
+            args.clip,
         )
         print(json.dumps({spec: out[spec]}), flush=True)
     if "fast" not in out or "exact" not in out:
