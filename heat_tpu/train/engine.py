@@ -468,6 +468,7 @@ class Engine:
         Returns (s_count, batch, nb, perms, counts_list) or None."""
         cfg = self.cfg
         rng_snapshot = self._np_rng.bit_generator.state
+        geom_snapshot = getattr(self, "_subep_geom", None)
         s_count = cfg.num_subepochs
         pairs_np = np.asarray(self.pairs)
         bounds = np.linspace(
@@ -487,13 +488,24 @@ class Engine:
             geoms.append(
                 self._subepoch_geometry([int(c) for c in counts])
             )
-        if len({g[0] for g in geoms}) != 1:
+        # Bail (rewind rng AND the grow-only geometry cache that the
+        # loop above may have mutated) unless both batch width AND nb
+        # are epoch-invariant: nb feeds jax.random.split(k_epoch, nb)
+        # and jax.random.bits(k, (nb*batch,)) inside the device program,
+        # so a mid-run regrow would silently void the tested bit-exact
+        # equivalence with sequential train_one_epoch calls.
+        if len({g for g in geoms}) != 1:
             self._np_rng.bit_generator.state = rng_snapshot
+            if geom_snapshot is None:
+                if hasattr(self, "_subep_geom"):
+                    del self._subep_geom
+            else:
+                self._subep_geom = geom_snapshot
             return None
         return (
             s_count,
             geoms[0][0],
-            max(g[1] for g in geoms),
+            geoms[0][1],
             perms,
             counts_list,
         )
@@ -1382,7 +1394,11 @@ class Engine:
 
         cfg = self.cfg
         metrics = list(metrics if metrics is not None else cfg.metrics)
-        segments = reference_schedule(epochs, eval_interval)
+        # Schedule anchored at the ABSOLUTE current epoch so a resumed
+        # run evals at the same epochs as an uninterrupted one (and as
+        # the unfused CLI loop, which keys off engine.epoch).
+        start0 = self.epoch
+        segments = reference_schedule(epochs, eval_interval, start0)
         base_ok = (
             fused
             and not self._multiprocess
@@ -1421,7 +1437,7 @@ class Engine:
                 if do_eval:
                     evals.append(
                         {
-                            "epoch": done - 1,
+                            "epoch": start0 + done - 1,
                             **self.evaluate(metrics, user_tile=user_tile),
                         }
                     )
@@ -1524,7 +1540,7 @@ class Engine:
             if do_eval:
                 evals.append(
                     {
-                        "epoch": done - 1,
+                        "epoch": start0 + done - 1,
                         **{
                             m: float(v)
                             for m, v in zip(metrics, mvals[i])

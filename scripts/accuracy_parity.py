@@ -46,6 +46,11 @@ def run(
     dim: int = 64,
     negs: int = 16,
     clip: float = 1.0,
+    aggregator: str = "mean",
+    his_refresh: str | None = None,
+    loss: str = "PairwiseLogisticLoss",
+    optimizer: str = "sgd",
+    num_subepochs: int = 1,
 ) -> dict:
     refresh = max(8192, batch_size)  # tile refresh counts samples; keep
     # the per-batch cadence of the 8192 headline (refresh every step)
@@ -77,6 +82,25 @@ def run(
         raise SystemExit(
             f"unknown mode {mode!r} (expected fast|direct|default|exact)"
         )
+    # Round-5 axes (VERDICT r4 items 1/2/8): the ACCL attention
+    # aggregators, the CCL loss, and the optimizer menu each get the
+    # same full-scale treatment as the headline path — the DESIGN.md 6g
+    # lesson (equivalence tests prove faithfulness, not quality; every
+    # headline axis needs a full-scale accuracy run).
+    kw["aggregator"] = aggregator
+    kw["loss"] = loss
+    kw["optimizer"] = optimizer
+    if num_subepochs > 1:
+        kw["num_subepochs"] = num_subepochs
+    if aggregator == "self_attention":
+        # Required mode (config.py): with cached pooling the learned
+        # attention query receives no gradient.
+        kw["his_refresh"] = "step"
+    if his_refresh is not None:
+        kw["his_refresh"] = his_refresh
+    if optimizer != "sgd":
+        # Moment-based optimizers must combine duplicate rows first.
+        kw.pop("update_mode", None)
     cfg = CFConfig(
         emb_dim=dim, num_negs=negs, max_his=100, batch_size=batch_size,
         l_r=l_r, clip_val=clip, milestones=[10], seed=seed,
@@ -122,6 +146,39 @@ def main() -> None:
         help="tile sampler size for fast/direct modes; <=0 auto-derives "
         "per the paper-Alg.-1 analog (128 at batch 32768)",
     )
+    ap.add_argument(
+        "--aggregator", type=str, default="mean",
+        choices=("mean", "self_attention", "user_attention"),
+        help="history pooling (the reference's named ACCL menu, "
+        "behavior_aggregators.cpp:27); self_attention forces "
+        "his_refresh='step' (its required mode)",
+    )
+    ap.add_argument(
+        "--his-refresh", type=str, default=None,
+        choices=("step", "subepoch"),
+        help="override the mode's history-refresh cadence (e.g. "
+        "user_attention under both cadences)",
+    )
+    ap.add_argument(
+        "--loss", type=str, default="PairwiseLogisticLoss",
+        choices=(
+            "PairwiseLogisticLoss",
+            "CosineContrastiveLoss",
+            "SigmoidPairwiseLoss",
+        ),
+        help="training loss (CosineContrastiveLoss = the MF_CCL "
+        "namesake, SimpleX margin 0.8 / weight 150)",
+    )
+    ap.add_argument(
+        "--optimizer", type=str, default="sgd",
+        choices=("sgd", "adagrad", "adam"),
+        help="row-sparse optimizer (non-sgd drops update_mode=direct: "
+        "moments require per-row dedup)",
+    )
+    ap.add_argument(
+        "--subepochs", type=int, default=1,
+        help="num_subepochs for non-'default' modes (composition runs)",
+    )
     args = ap.parse_args()
 
     train, test = synthetic_click_dataset(
@@ -136,7 +193,8 @@ def main() -> None:
         out[spec] = run(
             mode, train, test, args.epochs, dtype, param_dtype, args.seed,
             args.batch, args.lr, args.tile, args.dim, args.negs,
-            args.clip,
+            args.clip, args.aggregator, args.his_refresh, args.loss,
+            args.optimizer, args.subepochs,
         )
         print(json.dumps({spec: out[spec]}), flush=True)
     if "fast" not in out or "exact" not in out:

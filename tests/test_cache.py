@@ -8,6 +8,9 @@ from heat_tpu.utils.cache import enable_compilation_cache
 
 
 def test_enable_sets_default_dir(tmp_path, monkeypatch):
+    # A pre-set JAX_COMPILATION_CACHE_DIR makes enable_compilation_cache
+    # return early with None — clear it so the test is hermetic.
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
     monkeypatch.setenv("HEAT_TPU_CACHE_DIR", str(tmp_path / "xla"))
     prev = jax.config.jax_compilation_cache_dir
     try:
@@ -21,6 +24,7 @@ def test_enable_sets_default_dir(tmp_path, monkeypatch):
 
 
 def test_enable_respects_existing_config(tmp_path, monkeypatch):
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
     monkeypatch.delenv("HEAT_TPU_CACHE_DIR", raising=False)
     prev = jax.config.jax_compilation_cache_dir
     try:

@@ -584,6 +584,41 @@ def test_subepoch_fused_matches_per_bucket(data):
     )
 
 
+def test_run_epochs_with_eval_resumed_schedule(data):
+    """A resumed run must evaluate at the same ABSOLUTE epochs as an
+    uninterrupted one (reference_schedule anchored at engine.epoch, the
+    reference keys its eval check off the absolute epoch counter,
+    cf/main.py:115-124): resume at epoch 3 of 7 with interval 2 still
+    evals after epochs 4 and 6 — not 5 — and matches both the unfused
+    resumed path and the uninterrupted run's metrics at those epochs."""
+    from heat_tpu.train.run import reference_schedule
+
+    assert reference_schedule(4, 2, start_epoch=3) == ((2, True), (2, True))
+    assert reference_schedule(7, 2) == ((3, True), (2, True), (2, True))
+    train, test = data
+    mets = ["Recall(k=20)"]
+    e_full = Engine(small_cfg(), train, test)
+    losses_full, evals_full = e_full.run_epochs_with_eval(7, 2, metrics=mets)
+    assert [ev["epoch"] for ev in evals_full] == [2, 4, 6]
+    e_res = Engine(small_cfg(), train, test)
+    e_res.train_epochs(3)
+    losses_f, evals_f = e_res.run_epochs_with_eval(4, 2, metrics=mets)
+    assert [ev["epoch"] for ev in evals_f] == [4, 6]
+    e_res2 = Engine(small_cfg(), train, test)
+    e_res2.train_epochs(3)
+    losses_s, evals_s = e_res2.run_epochs_with_eval(
+        4, 2, metrics=mets, fused=False
+    )
+    assert [ev["epoch"] for ev in evals_s] == [4, 6]
+    np.testing.assert_allclose(losses_f, losses_s, rtol=1e-5)
+    # Same key draws as the uninterrupted run → the resumed tail matches
+    # its losses and its eval values at the shared absolute epochs.
+    np.testing.assert_allclose(losses_f, losses_full[3:], rtol=1e-5)
+    for ef, es, efull in zip(evals_f, evals_s, evals_full[1:]):
+        np.testing.assert_allclose(ef[mets[0]], es[mets[0]], rtol=1e-5)
+        np.testing.assert_allclose(ef[mets[0]], efull[mets[0]], rtol=1e-5)
+
+
 def test_run_epochs_with_eval_fused_matches_unfused(data):
     """The fused full-run program (train/run.py: every epoch scan and
     every tiled-top-k + metric reduction in ONE device program) must
