@@ -11,8 +11,15 @@ capture of bench.py's one JSON line) — run it as the last step of a round:
 Accepts either the driver wrapper ({"parsed": {...}}) or a raw bench JSON
 line. Rows whose fields are absent from the record are skipped (older
 records), so the script works across rounds. Rows NOT derived from
-bench.py (bench_large.py's huge-table row, the Gowalla-shape row) live
-outside the markers with their own provenance and are not touched.
+bench.py (bench_large.py's full-scale 16M×6M huge-table row) live outside
+the markers with their own provenance and are not touched.
+
+Provenance convention (VERDICT r4 item 7): the table's HTML comment names
+the record file it was generated from. The driver-captured BENCH_r0N.json
+only exists AFTER a round's final commit, so a round closes by syncing
+from its trial record (BENCH_trial_r0N.json — same bench.py, same chip,
+run by the builder); the next round re-runs this script on the driver
+record if the two disagree beyond the stated ±0.05 s variance.
 """
 
 from __future__ import annotations
@@ -225,6 +232,34 @@ def build_table(r: dict) -> str:
         else f"{s('heavy_d256_negs64_s'):.2f} s/epoch bf16",
     )
     add(
+        "ACCL aggregation (the reference's named menu, "
+        "behavior_aggregators.cpp:27; paper H-ACCL rows): user-attention "
+        "composes with cached pools; self-attention requires per-step "
+        "pooling (its learned query's only gradient path). Full-scale "
+        "Recall@20 parity vs the mean aggregator: see the ACCL section",
+        "— (ACCL within ~1.2× of the 245 s CCL epoch, paper ARM rows)",
+        None
+        if s("accl_user_s") is None
+        else (
+            f"user-attention **{s('accl_user_s'):.3f} s "
+            f"({x('accl_user_vs_ccl_baseline')})**"
+            + (
+                f"; self-attention {s('accl_self_s'):.2f} s "
+                f"({x('accl_self_vs_ccl_baseline')})"
+                if s("accl_self_s") is not None
+                else ""
+            )
+        ),
+    )
+    add(
+        "CosineContrastiveLoss — the MF_CCL family namesake (SimpleX "
+        "margin 0.8 / weight 150) under the headline treatment",
+        "~245 s",
+        None
+        if s("ccl_s") is None
+        else f"**{s('ccl_s'):.3f} s ({x('ccl_vs_baseline')})**",
+    )
+    add(
         "Yelp18-shape epoch (31.7k×38k, d=128, 64 negs, clip 0.1 — the "
         "third reference dataset shape), tile sampler + bf16",
         "—",
@@ -232,6 +267,30 @@ def build_table(r: dict) -> str:
         if s("yelp_shape_s") is None
         else f"**{s('yelp_shape_s'):.3f} s** "
         f"({r.get('yelp_shape_interactions_per_sec', 0)/1e6:.1f}M "
+        "interactions/s)",
+    )
+    add(
+        "Gowalla-shape epoch (29.9k×41k, d=128, 64 negs, clip 0.1, 1.03M "
+        "clicks — the second reference dataset shape), tile sampler + bf16",
+        "—",
+        None
+        if s("gowalla_shape_s") is None
+        else f"**{s('gowalla_shape_s'):.3f} s** "
+        f"({r.get('gowalla_shape_interactions_per_sec', 0)/1e6:.1f}M "
+        "interactions/s)",
+    )
+    lg = r.get("large_geometry") or {}
+    add(
+        "Huge-table sort-dedup update path (both tables > 4M rows, "
+        "emb_pad=128 full-sublane layout) at a time-boxed "
+        f"{lg.get('users', 0)/1e6:.0f}M×{lg.get('items', 0)/1e6:.1f}M"
+        f"×{lg.get('clicks', 0)/1e6:.0f}M-click geometry — "
+        "`bench_large.py` remains the 16M×6M×40M flagship harness",
+        "— (no reference equivalent at this scale)",
+        None
+        if s("large_epoch_s") is None
+        else f"**{s('large_epoch_s'):.2f} s** "
+        f"({r.get('large_interactions_per_sec', 0)/1e6:.1f}M "
         "interactions/s)",
     )
     add(

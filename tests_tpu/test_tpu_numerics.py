@@ -360,3 +360,64 @@ def test_fused_full_run_subepoch_matches_unfused_on_chip():
         np.asarray(e_seq.state.item_emb, np.float32),
         rtol=1e-4, atol=1e-6,
     )
+
+
+def test_exact_topk_recursive_branch_on_chip():
+    """exact_topk_2phase's RECURSIVE window path (engaged only above
+    _TOPK_2PHASE_MIN_ITEMS * _TOPK_WINDOW = 524,288 items — the branch
+    bench_large.py's 6M-item eval takes, evaluator.py:112-117) against a
+    host oracle on the real chip (VERDICT r4 item 6). Scores are per-row
+    permutations of arange(n): all distinct and exactly representable in
+    f32, so the expected ranking is unambiguous. Both prior TPU-only bugs
+    (commits 15ea8f2, 3bf5879) lived in selection paths CPU tests could
+    not see; this is the one selection branch that had no on-chip test."""
+    from heat_tpu.evaluation.evaluator import (
+        _TOPK_2PHASE_MIN_ITEMS,
+        _TOPK_WINDOW,
+        exact_topk_2phase,
+    )
+
+    n = 600_000
+    assert n >= _TOPK_2PHASE_MIN_ITEMS * _TOPK_WINDOW  # recursion engaged
+    rng = np.random.default_rng(2)
+    B, K = 4, 50
+    sim_np = np.stack(
+        [rng.permutation(n).astype(np.float32) for _ in range(B)]
+    )
+    scores, ids = jax.jit(lambda s: exact_topk_2phase(s, K))(
+        jnp.asarray(sim_np)
+    )
+    scores, ids = np.asarray(scores), np.asarray(ids)
+    want_ids = np.argsort(-sim_np, axis=1, kind="stable")[:, :K]
+    np.testing.assert_array_equal(ids, want_ids)
+    np.testing.assert_array_equal(
+        scores, np.take_along_axis(sim_np, want_ids, 1)
+    )
+
+
+def test_approx_topk_recall_vs_exact_on_chip():
+    """approx_max_k's MEASURED recall on chip at the advertised 0.95/0.99
+    targets vs the exact two-phase path (VERDICT r4 item 6): the
+    --eval-approx mode had on-chip timing rows but its result quality was
+    asserted nowhere on chip. Recall must meet the target within sampling
+    noise on a bf16-gap score distribution (the trained-table regime)."""
+    rng = np.random.default_rng(3)
+    U, I, D, K = 2048, 91_599, 64, 50
+    ue = rng.normal(scale=0.05, size=(U, D)).astype(np.float32)
+    ie = rng.normal(scale=0.05, size=(I, D)).astype(np.float32)
+    pairs = np.stack(
+        [rng.integers(0, U, 100_000), rng.integers(0, I, 100_000)], 1
+    ).astype(np.int32)
+    ev = TiledEvaluator(pairs, U, num_items=I)
+    _, exact_ids = ev.topk(ue, ie, K)
+    exact_ids = np.asarray(exact_ids)
+    for target in (0.95, 0.99):
+        _, ids = ev.topk(ue, ie, K, exact=False, recall_target=target)
+        ids = np.asarray(ids)
+        hit = np.mean(
+            [
+                len(set(map(int, a)) & set(map(int, b))) / K
+                for a, b in zip(ids, exact_ids)
+            ]
+        )
+        assert target - 0.02 <= hit, (target, hit)
