@@ -860,3 +860,46 @@ def test_subepoch_fused_matches_per_bucket_adam(data):
         np.asarray(e_seq.state.opt_slots["w0_v"]),
         rtol=1e-5, atol=1e-9,
     )
+
+
+def test_subepoch_multi_prep_bails_and_rewinds_on_geometry_growth(data):
+    """_subepoch_multi_prep must return None — with BOTH the numpy rng
+    and the grow-only geometry cache rewound — when the packed geometry
+    would vary across the fused epochs: nb feeds the device program's
+    key splits (jax.random.split(k_epoch, nb)), so a mid-prep regrow
+    would void the bit-exact fused==sequential equivalence, and a
+    mutated cache would leak the grown nb into the per-epoch fallback
+    (advisor r4 findings 1-2)."""
+    train, test = data
+    eng = Engine(
+        small_cfg(num_subepochs=2, batch_size=64), train, test, seed=3
+    )
+    # Seed the grow-only cache at the real first-epoch geometry.
+    prep = eng._subepoch_multi_prep(2)
+    assert prep is not None
+    geom_before = eng._subep_geom
+    rng_before = eng._np_rng.bit_generator.state
+    # Force a geometry change partway through prep: the second epoch's
+    # call sees a cache whose nb no longer covers it.
+    calls = {"n": 0}
+    orig = eng._subepoch_geometry
+
+    def growing(ns):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            b, nb = orig(ns)
+            eng._subep_geom = (b, nb + 7)  # simulate an overflow regrow
+            return eng._subep_geom
+        return orig(ns)
+
+    eng._subepoch_geometry = growing
+    assert eng._subepoch_multi_prep(2) is None
+    eng._subepoch_geometry = orig
+    # Rewound: same rng state, same cache as before the failed prep.
+    assert eng._subep_geom == geom_before
+    assert eng._np_rng.bit_generator.state == rng_before
+    # And a clean re-prep still succeeds (drawing the exact perms the
+    # bailed attempt rewound — state equality above proves the stream).
+    prep2 = eng._subepoch_multi_prep(2)
+    assert prep2 is not None
+    assert prep2[0] == prep[0] and prep2[1] == prep[1]
