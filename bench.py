@@ -261,6 +261,13 @@ def time_full_run(dataset: ClickDataset, reps: int = 2, **cfg_kw):
         )  # warmup/compile (programs are cached per engine)
         times = []
         for _ in range(reps):
+            # Rewind the epoch counter so every rep runs the SAME
+            # absolute schedule (run_epochs_with_eval anchors segments
+            # and the lr schedule at engine.epoch since the round-5
+            # resume fix) — identical segments keep the cached fused
+            # program AND the train_epochs(seg) chunk programs; without
+            # this each rep recompiles the whole run (~44 s measured).
+            engine.epoch = 0
             t0 = time.perf_counter()
             engine.run_epochs_with_eval(
                 5, 2, metrics=["Recall(k=20)"], fused=fused

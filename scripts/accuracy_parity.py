@@ -98,9 +98,10 @@ def run(
         kw["his_refresh"] = "step"
     if his_refresh is not None:
         kw["his_refresh"] = his_refresh
+    dropped_direct = False
     if optimizer != "sgd":
         # Moment-based optimizers must combine duplicate rows first.
-        kw.pop("update_mode", None)
+        dropped_direct = kw.pop("update_mode", None) == "direct"
     cfg = CFConfig(
         emb_dim=dim, num_negs=negs, max_his=100, batch_size=batch_size,
         l_r=l_r, clip_val=clip, milestones=[10], seed=seed,
@@ -109,7 +110,13 @@ def run(
     eng = Engine(cfg, train, test)
     losses = [round(eng.train_one_epoch(), 4) for _ in range(epochs)]
     m = eng.evaluate()
-    return {"losses": losses, **{k: round(v, 4) for k, v in m.items()}}
+    out = {"losses": losses, **{k: round(v, 4) for k, v in m.items()}}
+    if dropped_direct:
+        # Keep the record honest: the requested mode label implies
+        # update_mode="direct", but moment-based optimizers require the
+        # dedup path — say so in the printed record itself.
+        out["update_mode_effective"] = "dedup"
+    return out
 
 
 def main() -> None:
