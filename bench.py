@@ -570,6 +570,30 @@ def main() -> None:
         param_dtype="bfloat16", update_mode="direct",
         aggregator="self_attention",
     )
+    # Round 5: the history-gather dedup extends to the attention
+    # aggregators (train_step uniq_first path — pooling once per
+    # DISTINCT user inside the loss; exact, single-step bitwise vs the
+    # undeduped step). On the fork's live parse-order visit stream
+    # (user-grouped clicks) that turns self-attention's required
+    # per-step pooling from exact-mode cost into near-headline cost
+    # (measured 1.85 -> 0.34 s).
+    order0 = np.argsort(np.asarray(dataset.pairs)[:, 0], kind="stable")
+    grouped0 = ClickDataset(
+        pairs=np.asarray(dataset.pairs)[order0],
+        his_items=dataset.his_items,
+        masks=dataset.masks,
+        num_users=NUM_USERS,
+        num_items=NUM_ITEMS,
+        max_his=MAX_HIS,
+        user_items=[],
+    )
+    accl_self_grouped_s, _ = time_epochs(
+        "step", grouped0, reps=2, fused=3, shuffle_mode="none",
+        neg_sampler=1, tile_size=512, refresh_interval=8192,
+        compute_dtype="bfloat16", param_dtype="bfloat16",
+        update_mode="direct", aggregator="self_attention",
+    )
+    del grouped0
     # CosineContrastiveLoss — the MF_CCL family namesake (VERDICT r4
     # item 2; SimpleX margin 0.8 / weight 150, cf/benchmarks/*/MF_CCL/) —
     # under the headline treatment. Full-scale accuracy run:
@@ -746,6 +770,10 @@ def main() -> None:
         "accl_self_s": round(accl_self_s, 4),
         "accl_self_vs_ccl_baseline": round(
             BASELINE_EPOCH_S / accl_self_s, 2
+        ),
+        "accl_self_grouped_s": round(accl_self_grouped_s, 4),
+        "accl_self_grouped_vs_ccl_baseline": round(
+            BASELINE_EPOCH_S / accl_self_grouped_s, 2
         ),
         "ccl_s": round(ccl_s, 4),
         "ccl_vs_baseline": round(BASELINE_EPOCH_S / ccl_s, 2),

@@ -614,21 +614,24 @@ class Engine:
         return out
 
     def _history_dedup(self, pairs, users) -> Optional[tuple]:
-        """Host-precomputed per-batch (uniq_users, inverse) maps for the
-        train step's history-gather dedup (see train_step docstring).
+        """Host-precomputed per-batch (uniq_users, inverse, first) maps
+        for the train step's history-gather dedup (see train_step
+        docstring).
 
         Applies when the pooled history is recomputed per step from the
-        live table (his_refresh == "step", mean aggregator) and the batch
-        stream is FIXED across epochs (shuffle "none"/"once" — "none" is
-        the fork's live MPI visit order, whose user-grouped parse order is
-        exactly where duplication is massive). Returns None when users are
-        mostly unique (shuffled streams) — the dedup would only add a
-        (B,) gather.
+        live table (his_refresh == "step" — any aggregator since round 5:
+        the attention variants pool per distinct user inside the loss,
+        with user_attention's query sliced from the first occurrence of
+        the same differentiable u_rows gather) and the batch stream is
+        FIXED across epochs (shuffle "none"/"once" — "none" is the fork's
+        live MPI visit order, whose user-grouped parse order is exactly
+        where duplication is massive). Returns None when users are mostly
+        unique (shuffled streams) — the dedup would only add a (B,)
+        gather.
         """
         cfg = self.cfg
         if (
             cfg.his_refresh != "step"
-            or cfg.aggregator != "mean"
             or self._multiprocess  # multi-host: _history_dedup_mp
             or cfg.shuffle_mode not in ("none", "once")
         ):
@@ -639,23 +642,30 @@ class Engine:
             return cache[1]
         users_np = np.asarray(users)
         nb, batch = users_np.shape
-        uniqs, invs, max_u = [], [], 1
+        uniqs, firsts, invs, max_u = [], [], [], 1
         for b in range(nb):
-            uu, inv = np.unique(users_np[b], return_inverse=True)
+            uu, first, inv = np.unique(
+                users_np[b], return_index=True, return_inverse=True
+            )
             uniqs.append(uu)
+            firsts.append(first)
             invs.append(inv)
             max_u = max(max_u, len(uu))
         out = None
         if max_u <= 0.7 * batch:  # worth the extra (B,) means gather
             bu = -(-max_u // 8) * 8
             uu_arr = np.zeros((nb, bu), np.int32)
-            for b, uu in enumerate(uniqs):
+            uf_arr = np.zeros((nb, bu), np.int32)
+            for b, (uu, uf) in enumerate(zip(uniqs, firsts)):
                 n = len(uu)
                 uu_arr[b, :n] = uu
                 uu_arr[b, n:] = uu[0] if n else 0
+                uf_arr[b, :n] = uf
+                uf_arr[b, n:] = uf[0] if n else 0
             out = (
                 jnp.asarray(uu_arr),
                 jnp.asarray(np.stack(invs).astype(np.int32)),
+                jnp.asarray(uf_arr),
             )
         self._dedup_cache = (key, out)
         return out
@@ -717,7 +727,11 @@ class Engine:
         inv_g = jax.make_array_from_process_local_data(
             self._batch_sharding, inv_arr
         )
-        return uniq_g, inv_g
+        # uniq_first stays None: the multi-host path is mean-only (an
+        # attention uniq_first would need GLOBAL batch-axis occurrence
+        # positions across host slices; the single-host path covers the
+        # attention dedup).
+        return uniq_g, inv_g, None
 
     def _dedup_mp_cached(self, pairs) -> Optional[tuple]:
         """Cache wrapper over _history_dedup_mp keyed on the (fixed)
@@ -761,6 +775,7 @@ class Engine:
                 neg_candidates,
                 dedup[0] if dedup else None,
                 dedup[1] if dedup else None,
+                dedup[2] if dedup else None,
             )
             loss_sum = float(loss_sum)
         return loss_sum
@@ -1282,6 +1297,7 @@ class Engine:
                     self.his_masks,
                     dedup[0] if dedup else None,
                     dedup[1] if dedup else None,
+                    dedup[2] if dedup else None,
                 )
             )
             loss_sums = np.asarray(loss_sums)

@@ -96,6 +96,7 @@ def train_step(
     uniq_users: Optional[jnp.ndarray] = None,
     uniq_inverse: Optional[jnp.ndarray] = None,
     neg_candidates_size: Optional[jnp.ndarray] = None,
+    uniq_first: Optional[jnp.ndarray] = None,
 ) -> tuple[TrainState, SamplerState, jnp.ndarray]:
     """One fused minibatch step. Returns (state', sampler_state', loss_sum).
 
@@ -110,16 +111,24 @@ def train_step(
     user_means: optional precomputed (U, d) pooled-history table
       (cfg.his_refresh == "subepoch", any cfg.aggregator); None recomputes
       from the live item table per step (reference semantics).
-    uniq_users / uniq_inverse: optional history-gather dedup (mean
-      aggregator, his_refresh == "step" only): uniq_users (Bu,) lists the
-      batch's distinct user ids (padded by repetition), uniq_inverse (B,)
-      maps each sample to its slot. All reads in a batched step happen at
-      batch start, so duplicate users provably receive IDENTICAL means —
-      gathering H history rows once per DISTINCT user is therefore an
-      exact rewrite that cuts the step's dominant row-gather traffic by
-      the duplication factor (~clicks-per-user for parse-order streams,
-      the fork's live MPI visit order, engine.cpp:243-252). Engine
-      precomputes these host-side per epoch (shuffle_mode == "none").
+    uniq_users / uniq_inverse: optional history-gather dedup
+      (his_refresh == "step" only): uniq_users (Bu,) lists the batch's
+      distinct user ids (padded by repetition), uniq_inverse (B,) maps
+      each sample to its slot. All reads in a batched step happen at
+      batch start, so duplicate users provably receive IDENTICAL pooled
+      histories — gathering H history rows once per DISTINCT user is
+      therefore an exact rewrite that cuts the step's dominant
+      row-gather traffic by the duplication factor (~clicks-per-user for
+      parse-order streams, the fork's live MPI visit order,
+      engine.cpp:243-252). Engine precomputes these host-side per epoch
+      (shuffle_mode == "none").
+    uniq_first: (Bu,) index of each distinct user's FIRST occurrence in
+      the batch (round 5 — required for the attention aggregators'
+      dedup, unused for mean): user_attention's query is the user row,
+      so per-uniq pooling slices ``u_rows[uniq_first]`` from the same
+      differentiable occurrence gather — duplicates carry identical
+      batch-start rows, and the query gradient flows back through the
+      existing u_rows scatter with no new plumbing.
     """
     users, pos, weight = batch
     # Real (non-padding) sample count: drives the sampler's iteration
@@ -195,6 +204,7 @@ def train_step(
     # provides the attention gradients). History item rows never receive
     # gradient in any variant (behavior_aggregators.cpp:129-153).
     his_embs = his_mask_b = None
+    uniq_embs = uniq_mask = None
     pooled_const = None
     if user_means is not None:
         with jax.named_scope("read_his"):
@@ -228,6 +238,27 @@ def train_step(
             )
         with jax.named_scope("aggr_f"):
             pooled_const = means_u[uniq_inverse]         # (B, d)
+    elif uniq_users is not None:
+        # Attention dedup (round 5): history rows gathered once per
+        # DISTINCT user; pooling is deferred to batch_loss because the
+        # query (attn_q, or the user row for user_attention) is
+        # differentiated. Exact by the same batch-start-read argument as
+        # the mean dedup — duplicate users see identical rows, so
+        # per-uniq pooling + an inverse gather equals per-occurrence
+        # pooling, and the query gradient is the occurrence-summed one.
+        with jax.named_scope("read_his"):
+            if his_items.ndim == 1:
+                h = cfg.max_his
+                his_ids = his_items[
+                    uniq_users[:, None] * h
+                    + jnp.arange(h, dtype=uniq_users.dtype)[None, :]
+                ]
+            else:
+                his_ids = his_items[uniq_users]          # (Bu, H)
+            uniq_embs = jax.lax.stop_gradient(
+                item_emb[his_ids]
+            ).astype(compute)
+            uniq_mask = his_masks[uniq_users]
     else:
         with jax.named_scope("read_his"):
             if his_items.ndim == 1:
@@ -260,6 +291,25 @@ def train_step(
     def batch_loss(u_rows, p_rows, n_rows, w0, attn_q=None):
         if pooled_const is not None:
             means = pooled_const
+        elif uniq_embs is not None:
+            # Attention dedup: pool once per distinct user, then a cheap
+            # (B,) d-wide gather. The user_attention query rides the
+            # SAME differentiable occurrence gather (first occurrence —
+            # duplicates are identical batch-start rows), so its
+            # gradient reaches the u_rows scatter unchanged.
+            with jax.named_scope("aggr_f"):
+                pooled_u = pool_history(
+                    uniq_embs,
+                    uniq_mask,
+                    u=(
+                        u_rows[uniq_first]
+                        if cfg.aggregator == "user_attention"
+                        else None
+                    ),
+                    attn_q=None if attn_q is None else attn_q.astype(compute),
+                    kind=cfg.aggregator,
+                )
+                means = pooled_u[uniq_inverse]
         else:
             with jax.named_scope("aggr_f"):
                 means = pool_history(
@@ -558,16 +608,21 @@ def make_epoch_fn(cfg: CFConfig):
         neg_candidates=None,
         uniq_users=None,
         uniq_inverse=None,
+        uniq_first=None,
     ):
         num_batches = users.shape[0]
         keys = jax.random.split(key, num_batches)
         user_means = _refresh_pools(cfg, state, his_items, his_masks)
 
         have_uniq = uniq_users is not None
+        have_first = have_uniq and uniq_first is not None
 
         def body(carry, xs):
             state, sampler_state = carry
-            if have_uniq:
+            uf = None
+            if have_first:
+                k, u, p, w, uu, ui, uf = xs
+            elif have_uniq:
                 k, u, p, w, uu, ui = xs
             else:
                 k, u, p, w = xs
@@ -584,12 +639,15 @@ def make_epoch_fn(cfg: CFConfig):
                 user_means=user_means,
                 uniq_users=uu,
                 uniq_inverse=ui,
+                uniq_first=uf,
             )
             return (state, sampler_state), loss
 
         xs = (keys, users, pos, weight)
         if have_uniq:
             xs = xs + (uniq_users, uniq_inverse)
+        if have_first:
+            xs = xs + (uniq_first,)
         (state, sampler_state), losses = jax.lax.scan(
             body, (state, sampler_state), xs
         )
@@ -1203,6 +1261,7 @@ def make_multi_epoch_fixed_fn(cfg: CFConfig, mesh=None):
         his_masks,
         uniq_users=None,
         uniq_inverse=None,
+        uniq_first=None,
     ):
         num_batches = users.shape[0]
         if batch_sh is not None:
@@ -1210,6 +1269,7 @@ def make_multi_epoch_fixed_fn(cfg: CFConfig, mesh=None):
             pos = jax.lax.with_sharding_constraint(pos, batch_sh)
             weight = jax.lax.with_sharding_constraint(weight, batch_sh)
         have_uniq = uniq_users is not None
+        have_first = have_uniq and uniq_first is not None
 
         def epoch_body(carry, xs):
             state, sampler_state = carry
@@ -1220,7 +1280,10 @@ def make_multi_epoch_fixed_fn(cfg: CFConfig, mesh=None):
 
             def body(c, bxs):
                 st, ss = c
-                if have_uniq:
+                uf = None
+                if have_first:
+                    k, u, p, w, uu, ui, uf = bxs
+                elif have_uniq:
                     k, u, p, w, uu, ui = bxs
                 else:
                     k, u, p, w = bxs
@@ -1236,12 +1299,15 @@ def make_multi_epoch_fixed_fn(cfg: CFConfig, mesh=None):
                     user_means=user_means,
                     uniq_users=uu,
                     uniq_inverse=ui,
+                    uniq_first=uf,
                 )
                 return (st, ss), loss
 
             bxs = (bkeys, users, pos, weight)
             if have_uniq:
                 bxs = bxs + (uniq_users, uniq_inverse)
+            if have_first:
+                bxs = bxs + (uniq_first,)
             (state, sampler_state), losses = jax.lax.scan(
                 body, (state, sampler_state), bxs
             )

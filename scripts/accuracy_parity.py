@@ -51,6 +51,7 @@ def run(
     loss: str = "PairwiseLogisticLoss",
     optimizer: str = "sgd",
     num_subepochs: int = 1,
+    shuffle_mode: str | None = None,
 ) -> dict:
     refresh = max(8192, batch_size)  # tile refresh counts samples; keep
     # the per-batch cadence of the 8192 headline (refresh every step)
@@ -98,6 +99,12 @@ def run(
         kw["his_refresh"] = "step"
     if his_refresh is not None:
         kw["his_refresh"] = his_refresh
+    if shuffle_mode is not None:
+        # "none" = the fork's live parse-order visit stream (the
+        # synthetic pairs are user-grouped in parse order, like real
+        # click files) — the shape behind the *_grouped_* bench rows
+        # and the history-gather dedup.
+        kw["shuffle_mode"] = shuffle_mode
     dropped_direct = False
     if optimizer != "sgd":
         # Moment-based optimizers must combine duplicate rows first.
@@ -186,6 +193,12 @@ def main() -> None:
         "--subepochs", type=int, default=1,
         help="num_subepochs for non-'default' modes (composition runs)",
     )
+    ap.add_argument(
+        "--shuffle-mode", type=str, default=None,
+        choices=("epoch", "once", "none"),
+        help="positive-sample order ('none' = parse-order grouped "
+        "stream, the *_grouped_* bench rows' shape)",
+    )
     args = ap.parse_args()
 
     train, test = synthetic_click_dataset(
@@ -201,7 +214,7 @@ def main() -> None:
             mode, train, test, args.epochs, dtype, param_dtype, args.seed,
             args.batch, args.lr, args.tile, args.dim, args.negs,
             args.clip, args.aggregator, args.his_refresh, args.loss,
-            args.optimizer, args.subepochs,
+            args.optimizer, args.subepochs, args.shuffle_mode,
         )
         print(json.dumps({spec: out[spec]}), flush=True)
     if "fast" not in out or "exact" not in out:

@@ -249,6 +249,14 @@ def build_table(r: dict) -> str:
                 if s("accl_self_s") is not None
                 else ""
             )
+            + (
+                f" — **{s('accl_self_grouped_s'):.3f} s "
+                f"({x('accl_self_grouped_vs_ccl_baseline')})** on the "
+                "live parse-order stream (round-5 attention-dedup: H "
+                "rows gathered once per distinct user, exact)"
+                if s("accl_self_grouped_s") is not None
+                else ""
+            )
         ),
     )
     add(

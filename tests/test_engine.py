@@ -903,3 +903,101 @@ def test_subepoch_multi_prep_bails_and_rewinds_on_geometry_growth(data):
     prep2 = eng._subepoch_multi_prep(2)
     assert prep2 is not None
     assert prep2[0] == prep[0] and prep2[1] == prep[1]
+
+
+@pytest.mark.parametrize(
+    "agg", ["self_attention", "user_attention"], ids=["self", "user"]
+)
+def test_history_dedup_attention_single_step_bitwise(agg):
+    """Round 5: the history-gather dedup extends to the ATTENTION
+    aggregators (pool once per distinct user inside the loss;
+    user_attention's query sliced from the first occurrence of the same
+    differentiable u_rows gather). The semantics proof is single-STEP
+    bitwise equality on a duplicate-heavy batch — loss, both tables, and
+    attn_q identical with dedup inputs vs without. (Epoch-level table
+    equality is NOT attainable: attention training is chaotic — a
+    measured 1-ulp perturbation of one element grows to ~2.7e-3 table
+    drift within 3 epochs — and different XLA program shapes round
+    differently; the engine-level test below asserts loss-trajectory
+    agreement instead.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from heat_tpu.models.state import init_train_state
+    from heat_tpu.train.samplers import init_sampler_state
+    from heat_tpu.train.train_step import Batch, train_step
+
+    cfg = CFConfig(
+        emb_dim=16, num_users=50, num_items=80, max_his=6, num_negs=4,
+        batch_size=32, l_r=0.05, clip_val=1.0, seed=0,
+        his_refresh="step", aggregator=agg,
+    )
+    key = jax.random.key(0)
+    state = init_train_state(cfg, key)
+    ss = init_sampler_state(cfg, key)
+    rng = np.random.default_rng(1)
+    users_np = np.sort(rng.integers(0, 50, 32)).astype(np.int32)
+    assert len(np.unique(users_np)) < 32  # duplicates present
+    pos_np = rng.integers(0, 80, 32).astype(np.int32)
+    his = jnp.asarray(rng.integers(0, 80, (50, 6)).astype(np.int32))
+    masks = jnp.asarray(rng.integers(1, 7, 50).astype(np.int32))
+    uu, first, inv = np.unique(
+        users_np, return_index=True, return_inverse=True
+    )
+    bu = -(-len(uu) // 8) * 8
+    uu_p = np.full(bu, uu[0], np.int32)
+    uu_p[: len(uu)] = uu
+    uf_p = np.full(bu, first[0], np.int32)
+    uf_p[: len(uu)] = first
+    batch = Batch(
+        jnp.asarray(users_np), jnp.asarray(pos_np), jnp.ones(32)
+    )
+    k = jax.random.key(5)
+    s1, _, l1 = train_step(state, ss, k, batch, his, masks, cfg)
+    s2, _, l2 = train_step(
+        state, ss, k, batch, his, masks, cfg,
+        uniq_users=jnp.asarray(uu_p),
+        uniq_inverse=jnp.asarray(inv.astype(np.int32)),
+        uniq_first=jnp.asarray(uf_p),
+    )
+    assert float(l1) == float(l2)
+    np.testing.assert_array_equal(
+        np.asarray(s1.user_emb), np.asarray(s2.user_emb)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s1.item_emb), np.asarray(s2.item_emb)
+    )
+    if s1.attn_q is not None:
+        np.testing.assert_array_equal(
+            np.asarray(s1.attn_q), np.asarray(s2.attn_q)
+        )
+
+
+@pytest.mark.parametrize(
+    "agg", ["self_attention", "user_attention"], ids=["self", "user"]
+)
+def test_history_dedup_attention_engine_equivalence(data, agg):
+    """Engine-level attention dedup on a user-grouped fixed stream: the
+    dedup engages (with uniq_first maps), and the loss trajectory
+    matches the undeduped engine's within reduction-order noise (see the
+    single-step bitwise test for why table equality is the wrong
+    assertion here)."""
+    train, test = data
+    cfg = small_cfg(
+        shuffle_mode="none", his_refresh="step", aggregator=agg
+    )
+    e_dedup = Engine(cfg, train, test)
+    e_plain = Engine(cfg, train, test)
+    e_plain._history_dedup = lambda pairs, users: None
+    l_d = [e_dedup.train_one_epoch() for _ in range(2)]
+    l_p = [e_plain.train_one_epoch() for _ in range(2)]
+    cache = e_dedup._dedup_cache
+    assert cache is not None and cache[1] is not None, (
+        "dedup did not engage on a user-grouped stream"
+    )
+    assert len(cache[1]) == 3 and cache[1][2] is not None  # uniq_first
+    np.testing.assert_allclose(l_d, l_p, rtol=1e-4)
+    # Ranking quality agrees (chaos scrambles low bits, not learning).
+    m_d = e_dedup.evaluate()["Recall(k=20)"]
+    m_p = e_plain.evaluate()["Recall(k=20)"]
+    assert abs(m_d - m_p) < 0.03, (m_d, m_p)
