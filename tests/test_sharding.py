@@ -306,3 +306,43 @@ def test_scaling_smoke_sweep():
     spec.loader.exec_module(mod)
     losses = mod.sweep(counts=[1, 4, 8])
     assert set(losses) == {1, 4, 8}
+
+
+@pytest.mark.parametrize(
+    "agg,refresh",
+    [
+        ("user_attention", "subepoch"),
+        ("user_attention", "step"),
+        ("self_attention", "step"),
+    ],
+    ids=["user_cached", "user_step", "self_step"],
+)
+def test_sharded_attention_aggregators(data, agg, refresh):
+    """Round 5: the ACCL attention aggregators under the mesh — one
+    batched step matches the single-device result (attn_q replicated,
+    pooling with the user-row / learned query under GSPMD), and
+    multi-epoch training stays finite and descends."""
+    train, test = data
+    cfg = _cfg()
+    cfg.aggregator = agg
+    cfg.his_refresh = refresh
+    cfg.batch_size = 1 << 12  # single batched step for the tight compare
+    e_single = Engine(cfg, train, test)
+    loss_single = e_single.train_one_epoch()
+    mesh = make_mesh(2, 4, jax.devices()[:8])
+    cfg2 = _cfg()
+    cfg2.aggregator = agg
+    cfg2.his_refresh = refresh
+    cfg2.batch_size = 1 << 12
+    e_sharded = Engine(cfg2, train, test, mesh=mesh)
+    loss_sharded = e_sharded.train_one_epoch()
+    np.testing.assert_allclose(loss_sharded, loss_single, rtol=1e-5)
+    if agg == "self_attention":
+        np.testing.assert_allclose(
+            np.asarray(e_sharded.state.attn_q),
+            np.asarray(e_single.state.attn_q),
+            rtol=1e-4, atol=1e-7,
+        )
+    losses = [e_sharded.train_one_epoch() for _ in range(2)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < loss_sharded
