@@ -52,6 +52,8 @@ def run(
     optimizer: str = "sgd",
     num_subepochs: int = 1,
     shuffle_mode: str | None = None,
+    ccl_margin: float | None = None,
+    ccl_neg_weight: float | None = None,
 ) -> dict:
     refresh = max(8192, batch_size)  # tile refresh counts samples; keep
     # the per-batch cadence of the 8192 headline (refresh every step)
@@ -99,6 +101,10 @@ def run(
         kw["his_refresh"] = "step"
     if his_refresh is not None:
         kw["his_refresh"] = his_refresh
+    if ccl_margin is not None:
+        kw["ccl_margin"] = ccl_margin
+    if ccl_neg_weight is not None:
+        kw["ccl_neg_weight"] = ccl_neg_weight
     if shuffle_mode is not None:
         # "none" = the fork's live parse-order visit stream (the
         # synthetic pairs are user-grouped in parse order, like real
@@ -199,6 +205,15 @@ def main() -> None:
         help="positive-sample order ('none' = parse-order grouped "
         "stream, the *_grouped_* bench rows' shape)",
     )
+    ap.add_argument(
+        "--ccl-margin", type=float, default=None,
+        help="CosineContrastiveLoss margin override (SimpleX default "
+        "0.8; SimpleX tunes it per dataset)",
+    )
+    ap.add_argument(
+        "--ccl-neg-weight", type=float, default=None,
+        help="CosineContrastiveLoss negative-weight override (default 150)",
+    )
     args = ap.parse_args()
 
     train, test = synthetic_click_dataset(
@@ -215,6 +230,7 @@ def main() -> None:
             args.batch, args.lr, args.tile, args.dim, args.negs,
             args.clip, args.aggregator, args.his_refresh, args.loss,
             args.optimizer, args.subepochs, args.shuffle_mode,
+            args.ccl_margin, args.ccl_neg_weight,
         )
         print(json.dumps({spec: out[spec]}), flush=True)
     if "fast" not in out or "exact" not in out:
