@@ -214,11 +214,28 @@ def main() -> None:
         "--ccl-neg-weight", type=float, default=None,
         help="CosineContrastiveLoss negative-weight override (default 150)",
     )
+    ap.add_argument(
+        "--pair-order", type=str, default=None,
+        choices=("user", "item"),
+        help="stable-sort the train pairs by this column before training "
+        "(mechanism probes: 'item' approximates the sub-epoch mode's "
+        "item-partition-bucketed visit order; combine with "
+        "--shuffle-mode none)",
+    )
     args = ap.parse_args()
 
     train, test = synthetic_click_dataset(
         num_users=args.users, num_items=args.items, max_his=100, seed=7
     )
+    if args.pair_order is not None:
+        import dataclasses
+
+        import numpy as np
+
+        col = 0 if args.pair_order == "user" else 1
+        pairs = np.asarray(train.pairs)
+        order = np.argsort(pairs[:, col], kind="stable")
+        train = dataclasses.replace(train, pairs=pairs[order])
     out = {}
     for spec in args.modes.split(","):
         parts = spec.split(":")
