@@ -188,6 +188,25 @@ class CFConfig:
             )
         if self.shuffle_mode not in ("epoch", "once", "none"):
             raise ValueError(f"unknown shuffle_mode {self.shuffle_mode!r}")
+        if (
+            self.loss == "CosineContrastiveLoss"
+            and self.shuffle_mode == "none"
+        ):
+            # Measured full-scale hazard (DESIGN.md 6h): real click files
+            # are user-grouped, and user-grouped visiting under the
+            # margin loss compounds consecutive same-user updates —
+            # Recall@20 collapses 0.0102 -> 0.0015. Warn, don't raise:
+            # an item-grouped stream is legitimate (0.0127).
+            import warnings
+
+            warnings.warn(
+                "loss=CosineContrastiveLoss with shuffle_mode='none': "
+                "user-grouped parse-order streams measurably collapse "
+                "CCL training (Recall@20 0.0015 vs 0.0102 shuffled, "
+                "DESIGN.md 6h). Use the default shuffle_mode='epoch' "
+                "(or sub-epoch mode) unless the stream is item-grouped.",
+                stacklevel=2,
+            )
         if self.aggregator not in ("mean", "self_attention", "user_attention"):
             raise ValueError(f"unknown aggregator {self.aggregator!r}")
         if self.aggregator == "self_attention" and self.his_refresh != "step":

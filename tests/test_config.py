@@ -64,3 +64,22 @@ def test_overrides_accept_yaml_and_field_names():
     assert cfg.l_r == 0.5
     assert cfg.optimizer == "adam"
     assert cfg.emb_dim == 32
+
+
+def test_ccl_parse_order_hazard_warns():
+    """loss=CCL + shuffle_mode='none' is the measured collapse combination
+    (DESIGN.md 6h) — constructing that config warns; the default shuffle
+    does not."""
+    import warnings
+
+    from heat_tpu.config import CFConfig
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        CFConfig(loss="CosineContrastiveLoss", shuffle_mode="none")
+    assert any("collapse" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        CFConfig(loss="CosineContrastiveLoss")
+        CFConfig(shuffle_mode="none")
+    assert not any("collapse" in str(x.message) for x in w)
