@@ -680,14 +680,17 @@ class Engine:
         slots on two hosts. Local slot ids are offset by
         ``process_index * Bu_pad`` (hosts agree on the padded slot width
         by allgather-max), so each inverse entry indexes the GLOBAL slot
-        axis. Gating matches the single-host path (fixed streams, mean
-        aggregator, per-step history); returns None when duplication is
-        too low to pay for the extra (B,) means gather on any host.
+        axis; first-occurrence positions (round 5, the attention-dedup
+        query source) are offset by ``process_index * batch`` into the
+        GLOBAL batch axis under the same contiguous-process-block layout
+        the slot offsets already rely on. Gating matches the single-host
+        path (fixed streams, per-step history — any aggregator);
+        returns None when duplication is too low to pay for the extra
+        (B,) means gather on any host.
         """
         cfg = self.cfg
         if (
             cfg.his_refresh != "step"
-            or cfg.aggregator != "mean"
             or cfg.shuffle_mode not in ("none", "once")
         ):
             return None
@@ -695,9 +698,12 @@ class Engine:
 
         users_np = np.asarray(users_local)
         nb, batch = users_np.shape
-        uniqs, invs, max_u = [], [], 1
+        uniqs, firsts, invs, max_u = [], [], [], 1
         for b in range(nb):
-            uu, inv = np.unique(users_np[b], return_inverse=True)
+            uu, first, inv = np.unique(
+                users_np[b], return_index=True, return_inverse=True
+            )
+            firsts.append(first)
             uniqs.append(uu)
             invs.append(inv)
             max_u = max(max_u, len(uu))
@@ -715,23 +721,29 @@ class Engine:
         m = max(8, per_host_dev)
         bu = int(-(-stats[:, 0].max() // m) * m)
         uu_arr = np.zeros((nb, bu), np.int32)
-        for b, uu in enumerate(uniqs):
+        uf_arr = np.zeros((nb, bu), np.int32)
+        for b, (uu, uf) in enumerate(zip(uniqs, firsts)):
             n = len(uu)
             uu_arr[b, :n] = uu
             uu_arr[b, n:] = uu[0] if n else 0
+            uf_arr[b, :n] = uf
+            uf_arr[b, n:] = uf[0] if n else 0
         offset = jax.process_index() * bu
         inv_arr = np.stack(invs).astype(np.int32) + offset
+        # First-occurrence positions index the GLOBAL batch axis: local
+        # slices occupy contiguous per-process column blocks (the same
+        # layout assumption the slot offsets above rely on).
+        uf_arr = uf_arr + np.int32(jax.process_index() * batch)
         uniq_g = jax.make_array_from_process_local_data(
             self._batch_sharding, uu_arr
         )
         inv_g = jax.make_array_from_process_local_data(
             self._batch_sharding, inv_arr
         )
-        # uniq_first stays None: the multi-host path is mean-only (an
-        # attention uniq_first would need GLOBAL batch-axis occurrence
-        # positions across host slices; the single-host path covers the
-        # attention dedup).
-        return uniq_g, inv_g, None
+        first_g = jax.make_array_from_process_local_data(
+            self._batch_sharding, uf_arr
+        )
+        return uniq_g, inv_g, first_g
 
     def _dedup_mp_cached(self, pairs) -> Optional[tuple]:
         """Cache wrapper over _history_dedup_mp keyed on the (fixed)

@@ -130,6 +130,54 @@ def worker(
         )
         jax.distributed.shutdown()
         return
+    if variant == "accl":
+        # Round 5: the multi-host ATTENTION dedup (uniq_first offset into
+        # the global batch axis). On the parse-order fixed stream, a
+        # user_attention engine with the maps engaged must reproduce one
+        # with them forced off (losses to numerics), and the maps must
+        # actually engage with a non-None uniq_first.
+        kw_att = dict(
+            kw, shuffle_mode="none", his_refresh="step",
+            aggregator="user_attention",
+        )
+        e_on = Engine(CFConfig(**kw_att), local_train, local_test, mesh=mesh)
+        on = e_on.train_epochs(3)
+        cache = e_on._dedup_mp_cache
+        assert cache is not None and cache[1] is not None, "mp dedup idle"
+        assert cache[1][2] is not None, "uniq_first missing"
+        e_off = Engine(
+            CFConfig(**kw_att), local_train, local_test, mesh=mesh
+        )
+        e_off._history_dedup_mp = lambda *a, **k: None
+        off = e_off.train_epochs(3)
+        assert all(
+            abs(a - b) <= 1e-5 * max(1.0, abs(a))
+            for a, b in zip(off, on)
+        ), (off, on)
+        # self_attention through the same maps (query = attn_q, no
+        # occurrence slice needed — but the branch is shared).
+        kw_self = dict(kw_att, aggregator="self_attention")
+        e_self = Engine(
+            CFConfig(**kw_self), local_train, local_test, mesh=mesh
+        )
+        s_on = e_self.train_epochs(2)
+        e_self_off = Engine(
+            CFConfig(**kw_self), local_train, local_test, mesh=mesh
+        )
+        e_self_off._history_dedup_mp = lambda *a, **k: None
+        s_off = e_self_off.train_epochs(2)
+        assert all(
+            abs(a - b) <= 1e-5 * max(1.0, abs(a))
+            for a, b in zip(s_off, s_on)
+        ), (s_off, s_on)
+        print(
+            f"proc {proc_id}: accl dedup ok — user_attention "
+            f"{[round(x, 5) for x in on]} == off, self_attention "
+            f"{[round(x, 5) for x in s_on]} == off",
+            flush=True,
+        )
+        jax.distributed.shutdown()
+        return
     if variant == "subepoch":
         # VERDICT r2 item 5: sub-epoch item partitioning across real
         # processes — the host-side partition logic runs per process with
@@ -331,7 +379,8 @@ def main() -> None:
     parser.add_argument("--worker", type=int, default=None)
     parser.add_argument(
         "--variant", type=str, default="base",
-        choices=("base", "full", "checkpoint", "fused", "subepoch", "serve")
+        choices=("base", "full", "checkpoint", "fused", "subepoch",
+                 "serve", "accl")
     )
     args = parser.parse_args()
     if args.worker is not None:

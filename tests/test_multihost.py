@@ -148,3 +148,33 @@ def test_two_process_checkpoint_resume():
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "multihost demo ok" in proc.stdout
     assert proc.stdout.count("checkpoint-resume losses match") == 2
+
+
+def test_two_process_attention_dedup():
+    """Round 5: the multi-host ATTENTION history-gather dedup (uniq_first
+    offset into the global batch axis) across 2 real processes — engaged
+    maps reproduce the maps-off run for user_attention and
+    self_attention on the parse-order stream."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    port = 40000 + ((os.getpid() + 3) % 20000)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(root, "scripts", "multihost_demo.py"),
+            "--procs",
+            "2",
+            "--port",
+            str(port),
+            "--variant",
+            "accl",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "multihost demo ok" in proc.stdout
+    assert proc.stdout.count("accl dedup ok") == 2
