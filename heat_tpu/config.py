@@ -245,13 +245,11 @@ class CFConfig:
                 f"emb_pad ({self.emb_pad}) must be >= emb_dim "
                 f"({self.emb_dim}) (or 0 to disable)"
             )
-        if self.emb_pad and self.aggregator != "mean":
-            # The attention variants scale logits by the PHYSICAL row
-            # width (his_embs.shape[-1] ** -0.5), which would silently
-            # change the softmax temperature under padding.
-            raise ValueError(
-                "emb_pad currently requires aggregator='mean'"
-            )
+        # emb_pad composes with every aggregator since round 5: the
+        # attention softmax scales by the LOGICAL width (pool_history's
+        # logical_dim) and attn_q pads with a provably-zero tail, so the
+        # math is identical to the unpadded model (tested:
+        # tests/test_engine.py emb_pad attention identity).
         self.milestones = list(self.milestones)
         self.metrics = list(self.metrics)
 

@@ -161,6 +161,7 @@ def pool_history(
     u: Optional[jnp.ndarray] = None,
     attn_q: Optional[jnp.ndarray] = None,
     kind: str = "mean",
+    logical_dim: Optional[int] = None,
 ) -> jnp.ndarray:
     """History pooling with the SimpleX aggregation menu.
 
@@ -186,7 +187,14 @@ def pool_history(
     _, h, d = his_embs.shape
     pos = jnp.arange(h, dtype=mask.dtype)[None, :]  # (1, H)
     valid = pos < mask[:, None]  # (B, H)
-    scale = jnp.asarray(d, his_embs.dtype) ** -0.5
+    # Softmax temperature scales by the LOGICAL embedding width: under
+    # emb_pad the physical minor dim carries zero tails that contribute
+    # nothing to the logits, and silently lowering the temperature by
+    # sqrt(pad/d) would change the attention math (the old emb_pad x
+    # attention config restriction — lifted by this parameter).
+    scale = jnp.asarray(
+        d if logical_dim is None else logical_dim, his_embs.dtype
+    ) ** -0.5
     if kind == "self_attention":
         if attn_q is None:
             raise ValueError("self_attention requires attn_q")
@@ -230,6 +238,7 @@ def user_pools_impl(
     aggregator: str = "mean",
     chunk: int = 4096,
     max_his: Optional[int] = None,
+    logical_dim: Optional[int] = None,
 ) -> jnp.ndarray:
     """Per-user pooled history over the whole user table, in chunks.
 
@@ -294,7 +303,8 @@ def user_pools_impl(
             pooled = history_mean_fused(item_emb, ids, mask)
         else:
             pooled = pool_history(
-                item_emb[ids], mask, u=urows, attn_q=attn_q, kind=aggregator
+                item_emb[ids], mask, u=urows, attn_q=attn_q,
+                kind=aggregator, logical_dim=logical_dim,
             )
         return jax.lax.dynamic_update_slice(out, pooled, (start, 0))
 

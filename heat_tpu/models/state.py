@@ -107,6 +107,11 @@ def init_train_state(cfg: CFConfig, key: jax.Array) -> TrainState:
         attn_q = (
             jax.random.normal(kq, (cfg.emb_dim,), jnp.float32) * INIT_STD
         )
+        if width != d:
+            # Zero tail, like w0: history rows carry zero tails, so the
+            # logits and attn_q's gradient tail are exactly zero, and
+            # the pad stays zero through every optimizer step.
+            attn_q = jnp.zeros((width,), jnp.float32).at[:d].set(attn_q)
     opt_slots = None
     if cfg.optimizer in ("adagrad", "adam"):
         params = {"user": user_emb, "item": item_emb, "w0": w0}

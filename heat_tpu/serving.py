@@ -201,6 +201,9 @@ class Recommender:
             attn_q=self.state.attn_q,
             aggregator=self.cfg.aggregator,
             max_his=self.cfg.max_his,  # history may be Engine's flat layout
+            logical_dim=(
+                self.cfg.emb_dim if self.cfg.emb_pad else None
+            ),
         )
         return aggregate_history(
             user_emb, pooled, self.state.w0, self.cfg.gamma
@@ -244,6 +247,9 @@ class Recommender:
                 u=u,
                 attn_q=self.state.attn_q,  # f32 logits, like the pools path
                 kind=self.cfg.aggregator,
+                logical_dim=(
+                    self.cfg.emb_dim if self.cfg.emb_pad else None
+                ),
             )
         return aggregate_history(u, pooled, self.state.w0, self.cfg.gamma)
 
@@ -321,10 +327,12 @@ class Recommender:
         compute = item_emb.dtype
         his_embs = item_emb[jnp.asarray(ids)]
         masks_j = jnp.asarray(masks)
+        ld = self.cfg.emb_dim if self.cfg.emb_pad else None
         if self.cfg.aggregator == "user_attention":
             query = pool_history(his_embs, masks_j, kind="mean")
             pooled = pool_history(
-                his_embs, masks_j, u=query, kind="user_attention"
+                his_embs, masks_j, u=query, kind="user_attention",
+                logical_dim=ld,
             )
         else:
             pooled = pool_history(
@@ -336,6 +344,7 @@ class Recommender:
                     else self.state.attn_q.astype(compute)
                 ),
                 kind=self.cfg.aggregator,
+                logical_dim=ld,
             )
         u = (1.0 - self.cfg.gamma) * jnp.dot(
             pooled, self.state.w0.astype(compute)

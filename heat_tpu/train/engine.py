@@ -68,7 +68,8 @@ def _process_local_rows(arr) -> np.ndarray:
 # Chunked whole-table pooling (backs cfg.his_refresh == "subepoch"); the
 # implementation lives next to the pooling math in models/aggregator.py.
 compute_user_pools = functools.partial(
-    jax.jit, static_argnames=("chunk", "aggregator", "max_his")
+    jax.jit,
+    static_argnames=("chunk", "aggregator", "max_his", "logical_dim"),
 )(user_pools_impl)
 
 
@@ -408,6 +409,7 @@ class Engine:
             attn_q=self.state.attn_q,
             aggregator=cfg.aggregator,
             max_his=cfg.max_his,
+            logical_dim=cfg.emb_dim if cfg.emb_pad else None,
         )
 
     def _next_key(self) -> jax.Array:

@@ -80,6 +80,7 @@ def _refresh_pools(cfg: CFConfig, state, his_items, his_masks):
         attn_q=state.attn_q,
         aggregator=cfg.aggregator,
         max_his=cfg.max_his,
+        logical_dim=cfg.emb_dim if cfg.emb_pad else None,
     )
 
 
@@ -308,6 +309,7 @@ def train_step(
                     ),
                     attn_q=None if attn_q is None else attn_q.astype(compute),
                     kind=cfg.aggregator,
+                    logical_dim=cfg.emb_dim if cfg.emb_pad else None,
                 )
                 means = pooled_u[uniq_inverse]
         else:
@@ -318,6 +320,7 @@ def train_step(
                     u=u_rows,
                     attn_q=None if attn_q is None else attn_q.astype(compute),
                     kind=cfg.aggregator,
+                    logical_dim=cfg.emb_dim if cfg.emb_pad else None,
                 )
         # "his_mm": the means x weights0 matmul + gamma blend
         # (behavior_aggregators.cpp:118-122).

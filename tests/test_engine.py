@@ -554,8 +554,42 @@ def test_emb_pad_identical_math(data):
 def test_emb_pad_validation():
     with pytest.raises(ValueError, match="emb_pad"):
         CFConfig(emb_dim=64, emb_pad=32)
-    with pytest.raises(ValueError, match="mean"):
-        CFConfig(emb_dim=16, emb_pad=128, aggregator="user_attention")
+    # Round 5: emb_pad composes with the attention aggregators (the
+    # softmax scales by the logical width and attn_q pads zero-tail).
+    CFConfig(emb_dim=16, emb_pad=128, aggregator="user_attention")
+
+
+@pytest.mark.parametrize(
+    "agg,refresh",
+    [("user_attention", "subepoch"), ("self_attention", "step")],
+    ids=["user", "self"],
+)
+def test_emb_pad_attention_identical_math(data, agg, refresh):
+    """emb_pad x attention (round 5): the padded model computes identical
+    math — the softmax temperature uses the LOGICAL width and attn_q's
+    pad tail is provably zero — so a single batched step matches the
+    unpadded model and the tails stay exactly zero through training."""
+    train, test = data
+    kw = dict(batch_size=16384, aggregator=agg, his_refresh=refresh)
+    e_b = Engine(small_cfg(**kw), train, seed=3)
+    e_p = Engine(small_cfg(emb_pad=128, **kw), train, seed=3)
+    l_b = e_b.train_one_epoch()
+    l_p = e_p.train_one_epoch()
+    np.testing.assert_allclose(l_p, l_b, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(e_p.state.user_emb)[:, :16],
+        np.asarray(e_b.state.user_emb),
+        atol=1e-5,
+    )
+    ue = np.asarray(e_p.state.user_emb)
+    ie = np.asarray(e_p.state.item_emb)
+    assert not ue[:, 16:].any() and not ie[:, 16:].any()
+    if agg == "self_attention":
+        q = np.asarray(e_p.state.attn_q)
+        assert q.shape == (128,) and not q[16:].any()
+        np.testing.assert_allclose(
+            q[:16], np.asarray(e_b.state.attn_q), atol=1e-6
+        )
 
 
 def test_subepoch_fused_matches_per_bucket(data):
