@@ -88,6 +88,15 @@ def main() -> None:
         "direct = one per-occurrence scatter-add per table",
     )
     p.add_argument(
+        "--aggregator", type=str, default="mean",
+        choices=("mean", "user_attention"),
+        help="history pooling (round 5: emb_pad composes with the "
+        "attention variants; user_attention at the reduced 6Mx4.5M "
+        "geometry measured 3.23 s with emb_pad=128 vs 5.28 half-lane. "
+        "self_attention needs his_refresh=step — not this harness's "
+        "cached-pools shape)",
+    )
+    p.add_argument(
         "--emb-pad", type=int, default=128,
         help="physical minor width of the tables (CFConfig.emb_pad): "
         "2.2x faster to row-scatter at 16M-row tables than half-lane "
@@ -116,6 +125,7 @@ def main() -> None:
         param_dtype="bfloat16",
         update_mode=args.update_mode,
         emb_pad=args.emb_pad if args.emb_pad > args.dim else 0,
+        aggregator=args.aggregator,
     )
     engine = Engine(cfg, dataset)
     sorted_path = args.update_mode == "dedup" and (

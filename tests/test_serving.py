@@ -141,6 +141,34 @@ def test_recommender_with_emb_pad_state():
     assert cold.shape == (1, 5)
 
 
+def test_recommender_emb_pad_attention_state():
+    """Round 5 (emb_pad x attention): serving from a lane-padded
+    user_attention state — the softmax uses the logical width
+    (pool_history logical_dim), so aggregated recommendations match the
+    unpadded model's, and cold-start flows at the padded width."""
+    train, test = synthetic_click_dataset(
+        num_users=80, num_items=200, clicks_per_user=20, max_his=6, seed=9
+    )
+    kw = dict(
+        emb_dim=16, num_negs=8, max_his=6, l_r=0.02, batch_size=4096,
+        seed=4, aggregator="user_attention",
+    )
+    e_base = Engine(CFConfig(**kw), train, test)
+    e_pad = Engine(CFConfig(**kw, emb_pad=128), train, test)
+    e_base.train_one_epoch()
+    e_pad.train_one_epoch()
+    rec_base = Recommender(e_base.state, e_base.cfg, seen_pairs=train.pairs,
+                           his_items=train.his_items, his_masks=train.masks)
+    rec_pad = Recommender(e_pad.state, e_pad.cfg, seen_pairs=train.pairs,
+                          his_items=train.his_items, his_masks=train.masks)
+    np.testing.assert_array_equal(
+        rec_pad.recommend([0, 3, 7], k=10, aggregate_users=True),
+        rec_base.recommend([0, 3, 7], k=10, aggregate_users=True),
+    )
+    cold = rec_pad.recommend_cold([[1, 2, 3]], k=5)
+    assert cold.shape == (1, 5)
+
+
 def test_recommender_sparse_seen_ids():
     """Seen pairs whose max item id sits far below the item count must not
     shrink the request path's mask width (the evaluator would otherwise
