@@ -196,8 +196,9 @@ def test_evaluate0_matches_embedding_product(data):
 
 def test_kitchen_sink_config_trains(data):
     """Every knob at once: sub-epoch partitioning + tile sampler + cached
-    pools + adam + user-attention + bf16 compute. Guards against feature
-    interactions that each pairwise test would miss."""
+    pools + adam + user-attention + bf16 compute + lane padding (round 5:
+    emb_pad composes with attention). Guards against feature interactions
+    that each pairwise test would miss."""
     train, test = data
     eng = Engine(
         small_cfg(
@@ -210,6 +211,7 @@ def test_kitchen_sink_config_trains(data):
             aggregator="user_attention",
             compute_dtype="bfloat16",
             l_r=0.01,
+            emb_pad=128,
         ),
         train,
         test,
