@@ -191,6 +191,10 @@ class CFConfig:
         if (
             self.loss == "CosineContrastiveLoss"
             and self.shuffle_mode == "none"
+            # Sub-epoch mode re-buckets the stream by item partition —
+            # the measured-SAFE (item-grouped) visiting the warning text
+            # itself recommends.
+            and self.num_subepochs <= 1
         ):
             # Measured full-scale hazard (DESIGN.md 6h): real click files
             # are user-grouped, and user-grouped visiting under the

@@ -636,6 +636,18 @@ class Engine:
             cfg.his_refresh != "step"
             or self._multiprocess  # multi-host: _history_dedup_mp
             or cfg.shuffle_mode not in ("none", "once")
+            # user_attention + direct: the dedup concentrates the
+            # attention-query gradient into the first occurrence's row,
+            # and direct mode clips PER OCCURRENCE before scatter-add —
+            # where the clip binds, the concentrated row clips
+            # differently than the spread per-occurrence grads, breaking
+            # the exact-rewrite contract (dedup-combine updates sum
+            # before clipping, so they are unaffected; self_attention's
+            # query is a parameter, not a scattered row).
+            or (
+                cfg.aggregator == "user_attention"
+                and cfg.update_mode == "direct"
+            )
         ):
             return None
         cache = getattr(self, "_dedup_cache", None)
@@ -694,6 +706,12 @@ class Engine:
         if (
             cfg.his_refresh != "step"
             or cfg.shuffle_mode not in ("none", "once")
+            # Same exactness gate as _history_dedup: per-occurrence
+            # clipping vs the concentrated first-occurrence query grad.
+            or (
+                cfg.aggregator == "user_attention"
+                and cfg.update_mode == "direct"
+            )
         ):
             return None
         from jax.experimental import multihost_utils
@@ -789,7 +807,12 @@ class Engine:
                 neg_candidates,
                 dedup[0] if dedup else None,
                 dedup[1] if dedup else None,
-                dedup[2] if dedup else None,
+                # uniq_first feeds only the attention dedup; the mean
+                # path keeps its round-4 program signature (no unused
+                # scanned operand).
+                dedup[2]
+                if dedup and cfg.aggregator != "mean"
+                else None,
             )
             loss_sum = float(loss_sum)
         return loss_sum
@@ -1311,7 +1334,9 @@ class Engine:
                     self.his_masks,
                     dedup[0] if dedup else None,
                     dedup[1] if dedup else None,
-                    dedup[2] if dedup else None,
+                    dedup[2]
+                    if dedup and cfg.aggregator != "mean"
+                    else None,
                 )
             )
             loss_sums = np.asarray(loss_sums)

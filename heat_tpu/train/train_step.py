@@ -246,7 +246,16 @@ def train_step(
         # differentiated. Exact by the same batch-start-read argument as
         # the mean dedup — duplicate users see identical rows, so
         # per-uniq pooling + an inverse gather equals per-occurrence
-        # pooling, and the query gradient is the occurrence-summed one.
+        # pooling, and the query gradient is the occurrence-summed one
+        # (exact under combine-then-clip updates; Engine gates out
+        # user_attention + update_mode="direct", whose per-occurrence
+        # clip would bind differently on the concentrated row).
+        if cfg.aggregator == "user_attention" and uniq_first is None:
+            raise ValueError(
+                "user_attention history dedup requires uniq_first "
+                "(the per-uniq query slices the first occurrence of "
+                "the differentiable u_rows gather)"
+            )
         with jax.named_scope("read_his"):
             if his_items.ndim == 1:
                 h = cfg.max_his

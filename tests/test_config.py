@@ -82,4 +82,10 @@ def test_ccl_parse_order_hazard_warns():
         warnings.simplefilter("always")
         CFConfig(loss="CosineContrastiveLoss")
         CFConfig(shuffle_mode="none")
+        # Sub-epoch mode re-buckets by item partition — the safe order.
+        CFConfig(
+            loss="CosineContrastiveLoss",
+            shuffle_mode="none",
+            num_subepochs=2,
+        )
     assert not any("collapse" in str(x.message) for x in w)

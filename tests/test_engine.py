@@ -1037,3 +1037,32 @@ def test_history_dedup_attention_engine_equivalence(data, agg):
     m_d = e_dedup.evaluate()["Recall(k=20)"]
     m_p = e_plain.evaluate()["Recall(k=20)"]
     assert abs(m_d - m_p) < 0.03, (m_d, m_p)
+
+
+def test_history_dedup_gated_for_user_attention_direct(data):
+    """user_attention + update_mode='direct' must NOT engage the dedup:
+    the concentrated first-occurrence query gradient clips differently
+    under per-occurrence clipping than the spread per-occurrence grads
+    (advisor r5 finding) — the engine falls back to the exact undeduped
+    step."""
+    train, test = data
+    eng = Engine(
+        small_cfg(
+            shuffle_mode="none", his_refresh="step",
+            aggregator="user_attention", update_mode="direct",
+        ),
+        train, test,
+    )
+    eng.train_one_epoch()
+    cache = getattr(eng, "_dedup_cache", None)
+    assert cache is None or cache[1] is None
+    # The dedup-mode update path (combine-then-clip) still engages.
+    eng2 = Engine(
+        small_cfg(
+            shuffle_mode="none", his_refresh="step",
+            aggregator="user_attention",
+        ),
+        train, test,
+    )
+    eng2.train_one_epoch()
+    assert eng2._dedup_cache[1] is not None
