@@ -421,3 +421,40 @@ def test_approx_topk_recall_vs_exact_on_chip():
             ]
         )
         assert target - 0.02 <= hit, (target, hit)
+
+
+def test_attention_dedup_grouped_stream_on_chip():
+    """Round 5: the attention history-gather dedup (the accl_self_grouped_s
+    bench row's path) on the real chip — dedup-on and dedup-off engines
+    agree on the loss trajectory and ranking on a user-grouped fixed
+    stream, for both attention variants. Guards the uniq gather/pool/
+    inverse-gather composition against TPU-only layout/precision drift
+    (the CPU equivalence test cannot see chip layouts)."""
+    train, test = synthetic_click_dataset(
+        num_users=2000, num_items=4000, clicks_per_user=24, max_his=10,
+        seed=21,
+    )
+    for agg, extra in (
+        ("self_attention", dict(update_mode="direct")),
+        ("user_attention", dict()),  # dedup-eligible: combine-then-clip
+    ):
+        kw = dict(
+            emb_dim=32, num_negs=8, max_his=10, batch_size=1024,
+            l_r=0.05, clip_val=1.0, seed=6, shuffle_mode="none",
+            his_refresh="step", aggregator=agg, neg_sampler=1,
+            tile_size=128, refresh_interval=2048,
+            compute_dtype="bfloat16", param_dtype="bfloat16", **extra,
+        )
+        e_on = Engine(CFConfig(**kw), train, test, seed=5)
+        on = [e_on.train_one_epoch() for _ in range(2)]
+        assert e_on._dedup_cache[1] is not None, (agg, "dedup idle")
+        e_off = Engine(CFConfig(**kw), train, test, seed=5)
+        e_off._history_dedup = lambda pairs, users: None
+        off = [e_off.train_one_epoch() for _ in range(2)]
+        # bf16 + attention chaos: loss drift is ~1e-4-rel on CPU;
+        # the guarded failure mode (layout/clamp shear) is
+        # orders-of-magnitude grosser.
+        np.testing.assert_allclose(on, off, rtol=5e-3)
+        m_on = e_on.evaluate(["Recall(k=20)"])["Recall(k=20)"]
+        m_off = e_off.evaluate(["Recall(k=20)"])["Recall(k=20)"]
+        assert abs(m_on - m_off) < 0.05, (agg, m_on, m_off)
