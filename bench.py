@@ -431,6 +431,47 @@ def time_eval(dataset: ClickDataset, truth_ids=None, exact_only=False):
     return tuple(out)
 
 
+def time_serving(dataset: ClickDataset) -> dict:
+    """Serving latency at the AmazonBooks geometry — folds the
+    profile_serving.py harness into the driver record (the request path
+    is a shipped subsystem; a regression in the packed-bitmask request
+    path or the pow2 batch bucketing should be visible between rounds).
+
+    Times ``Recommender.recommend()`` end to end — user ids in, ranked
+    top-20 ids on host out, INCLUDING the host->device id upload and the
+    (B, k) download. Batch 1 is therefore dominated by the fixed
+    dispatch/transfer cost of this box's tunnel (~tens of ms); batch
+    8192 shows the marginal per-user cost.
+    """
+    import jax
+
+    from heat_tpu.models.state import init_train_state
+    from heat_tpu.serving import Recommender
+
+    cfg = CFConfig(
+        emb_dim=EMB_DIM, num_users=NUM_USERS, num_items=NUM_ITEMS,
+        max_his=MAX_HIS, num_negs=NUM_NEGS, batch_size=BATCH, seed=0,
+    )
+    state = init_train_state(cfg, jax.random.key(0))
+    rec = Recommender(
+        state, cfg,
+        seen_pairs=np.asarray(dataset.pairs),
+        his_items=dataset.his_items,
+        his_masks=dataset.masks,
+    )
+    rng = np.random.default_rng(3)
+    out = {}
+    for b, reps in ((1, 20), (256, 20), (8192, 5)):
+        ids = rng.integers(0, NUM_USERS, b).tolist()
+        res = rec.recommend(ids, k=20)  # compile + mask upload
+        assert res.shape == (b, 20)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            rec.recommend(ids, k=20)
+        out[b] = (time.perf_counter() - t0) / reps
+    return out
+
+
 def main() -> None:
     global BATCH, EMB_DIM, NUM_NEGS, NUM_USERS, NUM_ITEMS, TRAIN_SIZE
     from heat_tpu.utils.cache import enable_compilation_cache
@@ -712,6 +753,8 @@ def main() -> None:
     (eval_skew_s,) = time_eval(zipf_ds, truth_ids=zipf_truth,
                                exact_only=True)
     del zipf_ds, zipf_truth
+    # Serving request path (folds profile_serving.py into the record).
+    serve = time_serving(dataset)
     # Huge-table row (VERDICT r4 item 3 — fold the sort-dedup scatter
     # path into the driver record): tables above
     # scatter.DENSE_ROWS_THRESHOLD rows take _apply_row_updates_sorted
@@ -824,6 +867,13 @@ def main() -> None:
         "eval_topk50_approx99_s": round(eval_approx_s, 4),
         "eval_topk50_approx95_s": round(eval_approx95_s, 4),
         "eval_skew_s": round(eval_skew_s, 4),
+        # Serving request-path latency (ids in -> ranked top-20 ids on
+        # host out, transfers included; batch 1 = the tunnel's fixed
+        # dispatch floor, batch 8192 = the marginal per-user cost).
+        "serve_b1_ms": round(serve[1] * 1e3, 2),
+        "serve_b256_ms": round(serve[256] * 1e3, 2),
+        "serve_b8192_ms": round(serve[8192] * 1e3, 2),
+        "serve_us_per_user_b8192": round(serve[8192] / 8192 * 1e6, 1),
         # Roofline (modeled algorithmic bytes / measured s vs v5e 819 GB/s
         # peak; see modeled_epoch_bytes docstring for what is counted).
         "hbm_gb_modeled": round(head_gb, 2),

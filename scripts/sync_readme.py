@@ -326,6 +326,20 @@ def build_table(r: dict) -> str:
             )
         ),
     )
+    add(
+        "Serving request path (`Recommender.recommend`, top-20, packed "
+        "seen-mask, transfers included; batch 1 is the dev tunnel's "
+        "fixed dispatch floor)",
+        "— (no reference serving path)",
+        None
+        if s("serve_b8192_ms") is None
+        else (
+            f"batch 8192: **{s('serve_b8192_ms'):.1f} ms** "
+            f"({r.get('serve_us_per_user_b8192', 0):.1f} µs/user); "
+            f"batch 256: {s('serve_b256_ms'):.1f} ms; "
+            f"batch 1: {s('serve_b1_ms'):.0f} ms"
+        ),
+    )
     return "\n".join(rows)
 
 
