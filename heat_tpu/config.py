@@ -145,6 +145,19 @@ class CFConfig:
     # engine.cpp:243-252 walks partition buckets in parse order; the
     # Shuffle object is only read by the commented-out OpenMP path).
     shuffle_mode: str = "epoch"  # "epoch" | "once" | "none"
+    # Stable pre-sort of the visit stream before any shuffling (measured
+    # at full scale, DESIGN.md 6h/6i — visit order is a TRAINING knob
+    # for fixed streams, not just a perf one). "file": the parsed order
+    # (reference semantics). "user": group clicks by user regardless of
+    # file order — with shuffle_mode none/once this enables the
+    # history-gather dedup speedups (exact mode 1.76 -> 1.00 s,
+    # self-attention 1.85 -> 0.34 s) on ANY input file at a measured
+    # few-% ranking cost (Recall@20 0.0122 vs 0.0126). "item": group by
+    # item — the measured-best CosineContrastiveLoss order (0.0127 vs
+    # 0.0102 shuffled; margin-active negatives appear every step), and
+    # order-neutral for the pairwise loss (0.0126). Irrelevant under
+    # shuffle_mode "epoch" (the per-epoch shuffle re-randomizes).
+    visit_order: str = "file"  # "file" | "user" | "item"
     metrics: Sequence[str] = dataclasses.field(
         default_factory=lambda: ["Recall(k=20)"]
     )
@@ -188,13 +201,17 @@ class CFConfig:
             )
         if self.shuffle_mode not in ("epoch", "once", "none"):
             raise ValueError(f"unknown shuffle_mode {self.shuffle_mode!r}")
+        if self.visit_order not in ("file", "user", "item"):
+            raise ValueError(f"unknown visit_order {self.visit_order!r}")
         if (
             self.loss == "CosineContrastiveLoss"
             and self.shuffle_mode == "none"
             # Sub-epoch mode re-buckets the stream by item partition —
             # the measured-SAFE (item-grouped) visiting the warning text
-            # itself recommends.
+            # itself recommends; visit_order="item" requests exactly
+            # that order, so it is the fix, not the hazard.
             and self.num_subepochs <= 1
+            and self.visit_order != "item"
         ):
             # Measured full-scale hazard (DESIGN.md 6h): real click files
             # are user-grouped, and user-grouped visiting under the
@@ -207,8 +224,9 @@ class CFConfig:
                 "loss=CosineContrastiveLoss with shuffle_mode='none': "
                 "user-grouped parse-order streams measurably collapse "
                 "CCL training (Recall@20 0.0015 vs 0.0102 shuffled, "
-                "DESIGN.md 6h). Use the default shuffle_mode='epoch' "
-                "(or sub-epoch mode) unless the stream is item-grouped.",
+                "DESIGN.md 6h). Use the default shuffle_mode='epoch', "
+                "sub-epoch mode, or visit_order='item' (the "
+                "measured-best CCL order, 0.0127).",
                 stacklevel=2,
             )
         if self.aggregator not in ("mean", "self_attention", "user_attention"):
@@ -288,6 +306,7 @@ _MODEL_KEY_MAP = {
     "sgd_mode": "sgd_mode",
     "update_mode": "update_mode",
     "shuffle_mode": "shuffle_mode",
+    "visit_order": "visit_order",
     "his_refresh": "his_refresh",
     "aggregator": "aggregator",
     "aggregation": "aggregator",  # SimpleX config spelling

@@ -54,6 +54,7 @@ def run(
     shuffle_mode: str | None = None,
     ccl_margin: float | None = None,
     ccl_neg_weight: float | None = None,
+    visit_order: str | None = None,
 ) -> dict:
     refresh = max(8192, batch_size)  # tile refresh counts samples; keep
     # the per-batch cadence of the 8192 headline (refresh every step)
@@ -105,6 +106,8 @@ def run(
         kw["ccl_margin"] = ccl_margin
     if ccl_neg_weight is not None:
         kw["ccl_neg_weight"] = ccl_neg_weight
+    if visit_order is not None:
+        kw["visit_order"] = visit_order
     if shuffle_mode is not None:
         # "none" = the fork's live parse-order visit stream (the
         # synthetic pairs are user-grouped in parse order, like real
@@ -222,6 +225,13 @@ def main() -> None:
         "item-partition-bucketed visit order; combine with "
         "--shuffle-mode none)",
     )
+    ap.add_argument(
+        "--visit-order", type=str, default=None,
+        choices=("file", "user", "item"),
+        help="cfg.visit_order — the SHIPPED knob for the same pre-sort "
+        "(--pair-order sorts externally; this drives the engine's own "
+        "sort, bitwise-equivalent per tests/test_engine.py)",
+    )
     args = ap.parse_args()
 
     train, test = synthetic_click_dataset(
@@ -247,7 +257,7 @@ def main() -> None:
             args.batch, args.lr, args.tile, args.dim, args.negs,
             args.clip, args.aggregator, args.his_refresh, args.loss,
             args.optimizer, args.subepochs, args.shuffle_mode,
-            args.ccl_margin, args.ccl_neg_weight,
+            args.ccl_margin, args.ccl_neg_weight, args.visit_order,
         )
         print(json.dumps({spec: out[spec]}), flush=True)
     if "fast" not in out or "exact" not in out:

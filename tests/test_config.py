@@ -89,3 +89,30 @@ def test_ccl_parse_order_hazard_warns():
             num_subepochs=2,
         )
     assert not any("collapse" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        # visit_order='item' IS the measured-best CCL order — no hazard.
+        CFConfig(
+            loss="CosineContrastiveLoss",
+            shuffle_mode="none",
+            visit_order="item",
+        )
+    assert not any("collapse" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        # visit_order='user' forces exactly the collapsing order.
+        CFConfig(
+            loss="CosineContrastiveLoss",
+            shuffle_mode="none",
+            visit_order="user",
+        )
+    assert any("collapse" in str(x.message) for x in w)
+
+
+def test_visit_order_validation():
+    from heat_tpu.config import CFConfig
+
+    import pytest
+
+    with pytest.raises(ValueError, match="visit_order"):
+        CFConfig(visit_order="zigzag")

@@ -458,6 +458,69 @@ def test_history_dedup_exact_equivalence(data):
     )
 
 
+def test_visit_order_user_matches_presorted_and_enables_dedup(data):
+    """cfg.visit_order='user' on an ARBITRARY file order must reproduce
+    (bitwise — identical stream + key draws) an engine fed an externally
+    user-sorted file, and must engage the history-gather dedup that a
+    scrambled fixed stream alone would miss (the knob's whole point:
+    the grouped-stream speedups without pre-sorting the click file)."""
+    import dataclasses
+
+    train, test = data
+    pairs = np.asarray(train.pairs)
+    rng = np.random.default_rng(3)
+    scrambled = dataclasses.replace(
+        train, pairs=pairs[rng.permutation(len(pairs))]
+    )
+    spairs = np.asarray(scrambled.pairs)
+    presorted = dataclasses.replace(
+        scrambled, pairs=spairs[np.argsort(spairs[:, 0], kind="stable")]
+    )
+    cfg_auto = small_cfg(
+        shuffle_mode="none", his_refresh="step", visit_order="user"
+    )
+    cfg_file = small_cfg(shuffle_mode="none", his_refresh="step")
+    e_auto = Engine(cfg_auto, scrambled, test)
+    e_file = Engine(cfg_file, presorted, test)
+    np.testing.assert_array_equal(
+        np.asarray(e_auto.pairs), np.asarray(e_file.pairs)
+    )
+    l_a = [e_auto.train_one_epoch() for _ in range(2)]
+    l_f = [e_file.train_one_epoch() for _ in range(2)]
+    np.testing.assert_array_equal(l_a, l_f)
+    np.testing.assert_array_equal(
+        np.asarray(e_auto.state.user_emb), np.asarray(e_file.state.user_emb)
+    )
+    cache = e_auto._dedup_cache
+    assert cache is not None and cache[1] is not None, (
+        "dedup did not engage under visit_order='user'"
+    )
+
+
+def test_visit_order_item_matches_presorted(data):
+    """cfg.visit_order='item' == training on an externally item-sorted
+    file (the measured-best CCL order, DESIGN.md 6h)."""
+    import dataclasses
+
+    train, test = data
+    pairs = np.asarray(train.pairs)
+    rng = np.random.default_rng(5)
+    scrambled = dataclasses.replace(
+        train, pairs=pairs[rng.permutation(len(pairs))]
+    )
+    spairs = np.asarray(scrambled.pairs)
+    presorted = dataclasses.replace(
+        scrambled, pairs=spairs[np.argsort(spairs[:, 1], kind="stable")]
+    )
+    cfg_auto = small_cfg(shuffle_mode="none", visit_order="item")
+    cfg_file = small_cfg(shuffle_mode="none")
+    e_auto = Engine(cfg_auto, scrambled, test)
+    e_file = Engine(cfg_file, presorted, test)
+    l_a = [e_auto.train_one_epoch() for _ in range(2)]
+    l_f = [e_file.train_one_epoch() for _ in range(2)]
+    np.testing.assert_array_equal(l_a, l_f)
+
+
 def test_history_dedup_skipped_for_shuffled_streams(data):
     """Per-epoch shuffled batches have mostly-unique users: the dedup must
     not activate (it would only add a gather)."""
