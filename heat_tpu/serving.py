@@ -26,20 +26,30 @@ from heat_tpu.models.aggregator import (
 from heat_tpu.models.state import TrainState
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _topk_request(user_rows, item_pad, bits_rows, k: int):
+@functools.partial(
+    jax.jit, static_argnames=("k", "exact", "recall_target")
+)
+def _topk_request(
+    user_rows, item_pad, bits_rows, k: int,
+    exact: bool = True, recall_target: float = 0.95,
+):
     """Rank ONE request batch: (B, d) user rows against the (padded)
     item table with per-row packed seen-masks — the serving hot path
     (scoring only the requested rows; ``recommend_all`` ranks the whole
     user table, ~360 ms at AmazonBooks scale regardless of request
-    size)."""
+    size). ``exact=False`` routes selection through ``approx_max_k``
+    at ``recall_target`` — the same trade the evaluator offers, for
+    huge item spaces where even the two-phase exact top-k dominates a
+    request."""
     sim = jnp.dot(
         user_rows.astype(jnp.float32),
         item_pad.astype(jnp.float32).T,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    _, ids = masked_topk(sim, bits_rows, k)
+    _, ids = masked_topk(
+        sim, bits_rows, k, exact=exact, recall_target=recall_target
+    )
     return ids
 
 
@@ -258,6 +268,8 @@ class Recommender:
         user_ids: Sequence[int],
         k: int,
         aggregate_users: bool = False,
+        exact: bool = True,
+        recall_target: float = 0.95,
     ) -> np.ndarray:
         """(len(user_ids), k) top item ids for the requested users.
 
@@ -265,7 +277,11 @@ class Recommender:
         seen-mask + exact top-k; request batches pad to power-of-two
         buckets to bound jit specializations). Falls back to slicing
         ``recommend_all`` when the seen-mask exceeds the packed-bitmap
-        budget (huge item spaces use per-pair masking)."""
+        budget (huge item spaces use per-pair masking). ``exact=False``
+        selects via ``approx_max_k`` at ``recall_target`` instead of the
+        exact two-phase top-k (the evaluator's own measured trade:
+        ~1.4x at 0.95 on the full eval; matters most at multi-M-item
+        tables); the fallback path stays exact."""
         uids_np = np.asarray(user_ids, np.int64)
         if uids_np.size == 0:
             return np.zeros((0, k), np.int32)
@@ -293,7 +309,10 @@ class Recommender:
             bits = jnp.concatenate(
                 [bits, jnp.zeros((bpad - b, bits.shape[1]), bits.dtype)]
             )
-        ids = _topk_request(rows, self._item_pad, bits, k)
+        ids = _topk_request(
+            rows, self._item_pad, bits, k,
+            exact=exact, recall_target=float(recall_target),
+        )
         return np.asarray(ids[:b]).astype(np.int32)
 
     def recommend_cold(

@@ -46,6 +46,36 @@ def test_recommender_masks_seen_and_finds_structure():
     assert ids2.shape == (1, 5)
 
 
+def test_recommend_approx_masks_seen_and_tracks_exact():
+    """The approx selection option (``exact=False`` -> approx_max_k at
+    recall_target, the evaluator's own trade exposed on the request
+    path) must keep the seen-mask contract and track the exact ranking
+    closely."""
+    train, test = synthetic_click_dataset(
+        num_users=120, num_items=300, clicks_per_user=25, max_his=8, seed=6
+    )
+    cfg = CFConfig(
+        emb_dim=16, num_negs=8, max_his=8, l_r=0.05, batch_size=256, seed=2
+    )
+    eng = Engine(cfg, train, test)
+    for _ in range(4):
+        eng.train_one_epoch()
+    rec = Recommender(eng.state, cfg, seen_pairs=train.pairs)
+    uids = list(range(0, 120, 7))
+    exact_ids = rec.recommend(uids, k=20)
+    approx_ids = rec.recommend(uids, k=20, exact=False, recall_target=0.95)
+    assert approx_ids.shape == exact_ids.shape
+    seen = {(u, i) for u, i in map(tuple, train.pairs)}
+    overlaps = []
+    for row_a, row_e, u in zip(approx_ids, exact_ids, uids):
+        for item in row_a:
+            assert (u, int(item)) not in seen
+        overlaps.append(len(set(map(int, row_a)) & set(map(int, row_e))))
+    # approx_max_k's recall target is per-element; well above target on
+    # average (on CPU the fallback is exact, so this is non-flaky).
+    assert np.mean(overlaps) >= 0.9 * 20, overlaps
+
+
 def test_recommend_cold_from_history():
     """Cold-start: users scored purely from a history list (no trained
     row) must recover their held-out items above chance and never
