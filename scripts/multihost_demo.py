@@ -178,6 +178,44 @@ def worker(
         )
         jax.distributed.shutdown()
         return
+    if variant == "visit":
+        # Round 5: cfg.visit_order="user" on a SCRAMBLED local stream
+        # must (a) reproduce an engine fed an externally user-sorted
+        # stream exactly — same pairs, same key draws — and (b) engage
+        # the multi-host dedup maps that a scrambled fixed stream alone
+        # would miss (the knob's multi-host contract: each process
+        # sorts its own user-range shard).
+        import dataclasses
+
+        rng = np.random.default_rng(13 + proc_id)
+        lp = np.asarray(local_train.pairs)
+        scrambled = dataclasses.replace(
+            local_train, pairs=lp[rng.permutation(len(lp))]
+        )
+        sp = np.asarray(scrambled.pairs)
+        presorted = dataclasses.replace(
+            scrambled, pairs=sp[np.argsort(sp[:, 0], kind="stable")]
+        )
+        kw_v = dict(
+            kw, shuffle_mode="none", his_refresh="step",
+            visit_order="user",
+        )
+        e_auto = Engine(CFConfig(**kw_v), scrambled, local_test, mesh=mesh)
+        auto = e_auto.train_epochs(3)
+        cache = e_auto._dedup_mp_cache
+        assert cache is not None and cache[1] is not None, "mp dedup idle"
+        kw_f = dict(kw, shuffle_mode="none", his_refresh="step")
+        e_file = Engine(CFConfig(**kw_f), presorted, local_test, mesh=mesh)
+        filed = e_file.train_epochs(3)
+        assert auto == filed, (auto, filed)
+        print(
+            f"proc {proc_id}: visit_order ok — "
+            f"{[round(x, 5) for x in auto]} == presorted",
+            flush=True,
+        )
+        jax.distributed.shutdown()
+        return
+
     if variant == "subepoch":
         # VERDICT r2 item 5: sub-epoch item partitioning across real
         # processes — the host-side partition logic runs per process with
@@ -380,7 +418,7 @@ def main() -> None:
     parser.add_argument(
         "--variant", type=str, default="base",
         choices=("base", "full", "checkpoint", "fused", "subepoch",
-                 "serve", "accl")
+                 "serve", "accl", "visit")
     )
     args = parser.parse_args()
     if args.worker is not None:

@@ -150,6 +150,36 @@ def test_two_process_checkpoint_resume():
     assert proc.stdout.count("checkpoint-resume losses match") == 2
 
 
+def test_two_process_visit_order_user():
+    """Round 5: cfg.visit_order='user' across 2 real processes — each
+    process sorts its own scrambled user-range shard, reproduces the
+    externally pre-sorted stream exactly, and the multi-host dedup maps
+    engage."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    port = 40000 + ((os.getpid() + 9) % 20000)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(root, "scripts", "multihost_demo.py"),
+            "--procs",
+            "2",
+            "--port",
+            str(port),
+            "--variant",
+            "visit",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "multihost demo ok" in proc.stdout
+    assert proc.stdout.count("visit_order ok") == 2
+
+
 def test_two_process_attention_dedup():
     """Round 5: the multi-host ATTENTION history-gather dedup (uniq_first
     offset into the global batch axis) across 2 real processes — engaged
