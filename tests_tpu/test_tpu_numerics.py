@@ -266,6 +266,24 @@ def test_serving_request_path_matches_recommend_all():
             s_req[diff], s_all[diff], rtol=0, atol=0,
             err_msg="request path re-ranked non-tied scores",
         )
+    # Round 5: the approx selection option (exact=False -> approx_max_k)
+    # on REAL hardware — where approx_max_k genuinely approximates
+    # (the CPU fallback is near-exact, so only this tier measures it).
+    # Per-element recall target 0.95; assert well-above-floor mean
+    # overlap with the exact ranking and the seen-mask contract.
+    ids_apx = rec.recommend(uids, 10, exact=False, recall_target=0.95)
+    assert ids_apx.shape == ids_req.shape
+    pairs_np = np.asarray(train.pairs)
+    seen_set = set(map(tuple, pairs_np))
+    overlaps = []
+    for row_a, row_e, u in zip(ids_apx, ids_req, uids):
+        for item in row_a:
+            assert (int(u), int(item)) not in seen_set
+        overlaps.append(len(set(map(int, row_a)) & set(map(int, row_e))))
+    assert np.mean(overlaps) >= 0.8 * 10, (
+        np.mean(overlaps),
+        "approx request path fell far below its recall target",
+    )
 
 
 def test_large_batch_auto_tile_epoch_sanity():
