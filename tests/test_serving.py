@@ -76,6 +76,86 @@ def test_recommend_approx_masks_seen_and_tracks_exact():
     assert np.mean(overlaps) >= 0.9 * 20, overlaps
 
 
+def test_chunked_request_path_matches_one_shot(monkeypatch):
+    """The huge-item-table chunked request path (item-axis scan with a
+    running top-k merge, engaged above _CHUNKED_REQUEST_MIN_ITEMS) must
+    reproduce the one-shot path's ranking exactly — forced on at small
+    scale via the module thresholds."""
+    import heat_tpu.serving as serving
+
+    train, test = synthetic_click_dataset(
+        num_users=120, num_items=700, clicks_per_user=25, max_his=8, seed=6
+    )
+    cfg = CFConfig(
+        emb_dim=16, num_negs=8, max_his=8, l_r=0.05, batch_size=256, seed=2
+    )
+    eng = Engine(cfg, train, test)
+    for _ in range(3):
+        eng.train_one_epoch()
+    rec_one = serving.Recommender(eng.state, cfg, seen_pairs=train.pairs)
+    assert not rec_one._chunked_request
+    monkeypatch.setattr(serving, "_CHUNKED_REQUEST_MIN_ITEMS", 64)
+    monkeypatch.setattr(serving, "_REQUEST_PAD_MULTIPLE", 256)
+    rec_chunk = serving.Recommender(eng.state, cfg, seen_pairs=train.pairs)
+    assert rec_chunk._chunked_request
+    uids = list(range(0, 120, 3))
+    ids_one = rec_one.recommend(uids, 10)
+    ids_chunk = rec_chunk.recommend(uids, 10)
+    np.testing.assert_array_equal(ids_chunk, ids_one)
+    # The seen-mask contract holds on the padded arrays too.
+    seen = {(u, i) for u, i in map(tuple, train.pairs)}
+    for row, u in zip(ids_chunk, uids):
+        for item in row:
+            assert (u, int(item)) not in seen
+    # approx flag routes per-chunk; on CPU it tracks exact closely.
+    ids_apx = rec_chunk.recommend(uids, 10, exact=False, recall_target=0.95)
+    assert ids_apx.shape == ids_one.shape
+
+
+def test_unmasked_retrieve_filter_path_matches_bitmap(monkeypatch):
+    """The no-bitmap huge-table request path (top-(k+cap) unmasked
+    retrieve + host-side seen filter) must reproduce the packed-bitmap
+    path's ranking exactly — forced on by shrinking the bitmap budget
+    and the chunk thresholds."""
+    import heat_tpu.evaluation.evaluator as ev_mod
+    import heat_tpu.serving as serving
+
+    train, test = synthetic_click_dataset(
+        num_users=120, num_items=700, clicks_per_user=25, max_his=8, seed=6
+    )
+    cfg = CFConfig(
+        emb_dim=16, num_negs=8, max_his=8, l_r=0.05, batch_size=256, seed=2
+    )
+    eng = Engine(cfg, train, test)
+    for _ in range(3):
+        eng.train_one_epoch()
+    rec_bitmap = serving.Recommender(eng.state, cfg, seen_pairs=train.pairs)
+    assert rec_bitmap._bits_flat is not None
+    monkeypatch.setattr(serving, "_CHUNKED_REQUEST_MIN_ITEMS", 64)
+    monkeypatch.setattr(serving, "_REQUEST_PAD_MULTIPLE", 256)
+    monkeypatch.setattr(ev_mod, "MASK_BITS_MAX_BYTES", 16)
+    rec_filter = serving.Recommender(eng.state, cfg, seen_pairs=train.pairs)
+    assert rec_filter._bits_flat is None and rec_filter._chunked_request
+    assert rec_filter._seen_keys is not None
+    # Small request slice (2*bpad < num_users) so the retrieve+filter
+    # path is the one exercised, not the whole-table routing guard.
+    uids = list(range(0, 120, 8))
+    np.testing.assert_array_equal(
+        rec_filter.recommend(uids, 10), rec_bitmap.recommend(uids, 10)
+    )
+    # A request covering most users routes to the whole-table ranking.
+    all_uids = list(range(120))
+    np.testing.assert_array_equal(
+        rec_filter.recommend(all_uids, 10),
+        rec_bitmap.recommend_all(10),
+    )
+    # No seen_pairs at all: plain unmasked top-k through the same path.
+    rec_nomask = serving.Recommender(eng.state, cfg, seen_pairs=None)
+    assert rec_nomask._chunked_request and rec_nomask._seen_keys is None
+    ids = rec_nomask.recommend(uids, 10)
+    assert ids.shape == (len(uids), 10)
+
+
 def test_recommend_cold_from_history():
     """Cold-start: users scored purely from a history list (no trained
     row) must recover their held-out items above chance and never
