@@ -286,6 +286,70 @@ def test_serving_request_path_matches_recommend_all():
     )
 
 
+def test_chunked_and_filter_request_paths_on_chip(monkeypatch):
+    """Round 5 (DESIGN.md 6j): the huge-item-table request paths — the
+    item-axis-chunked scan and the unmasked retrieve + host seen-filter
+    — forced on at small scale via the module thresholds, on REAL
+    hardware (the selection/merge class where both prior TPU-only bugs
+    lived). All three representations must agree up to genuinely tied
+    scores under a host f64 oracle."""
+    import heat_tpu.evaluation.evaluator as ev_mod
+    import heat_tpu.serving as serving
+
+    train, test = synthetic_click_dataset(
+        num_users=2000, num_items=6000, clicks_per_user=20, max_his=10,
+        seed=4,
+    )
+    cfg = CFConfig(
+        emb_dim=32, num_negs=8, max_his=10, batch_size=2048, l_r=0.05,
+        seed=3,
+    )
+    eng = Engine(cfg, train, test)
+    for _ in range(2):
+        eng.train_one_epoch()
+    rec_one = serving.Recommender(eng.state, cfg, seen_pairs=train.pairs)
+    assert not rec_one._chunked_request
+    monkeypatch.setattr(serving, "_CHUNKED_REQUEST_MIN_ITEMS", 1024)
+    monkeypatch.setattr(serving, "_REQUEST_PAD_MULTIPLE", 2048)
+    rec_chunk = serving.Recommender(eng.state, cfg, seen_pairs=train.pairs)
+    assert rec_chunk._chunked_request and rec_chunk._bits_flat is not None
+    monkeypatch.setattr(ev_mod, "MASK_BITS_MAX_BYTES", 16)
+    rec_filt = serving.Recommender(eng.state, cfg, seen_pairs=train.pairs)
+    assert rec_filt._bits_flat is None and rec_filt._seen_keys is not None
+
+    rng = np.random.default_rng(0)
+    uids = rng.choice(2000, 257, replace=False)  # 2*bpad=1024 < U
+    outs = {
+        "one": rec_one.recommend(uids, 10),
+        "chunk": rec_chunk.recommend(uids, 10),
+        "filt": rec_filt.recommend(uids, 10),
+    }
+    # Host f64 oracle for tie-aware comparison (same pattern as
+    # test_serving_request_path_matches_recommend_all).
+    ue = np.asarray(eng.state.user_emb, np.float32)[uids]
+    ie = np.asarray(eng.state.item_emb, np.float32)
+    sim = ue.astype(np.float64) @ ie.astype(np.float64).T
+    seen = {}
+    for u, i in np.asarray(train.pairs):
+        seen.setdefault(int(u), set()).add(int(i))
+    for r, u in enumerate(uids):
+        for i in seen.get(int(u), ()):
+            sim[r, i] = -np.inf
+    ref = outs["one"]
+    s_ref = np.take_along_axis(sim, ref.astype(np.int64), 1)
+    for name in ("chunk", "filt"):
+        got = outs[name]
+        for row, gu in zip(got, uids):
+            for item in row:
+                assert (int(gu), int(item)) not in seen, name
+        diff = got != ref
+        s_got = np.take_along_axis(sim, got.astype(np.int64), 1)
+        np.testing.assert_allclose(
+            s_got[diff], s_ref[diff], rtol=0, atol=0,
+            err_msg=f"{name} path re-ranked non-tied scores",
+        )
+
+
 def test_large_batch_auto_tile_epoch_sanity():
     """The throughput-champion config (batch 32768, Alg-1 auto tile ->
     128, refresh 32768) on the real chip: finite decreasing loss and the
