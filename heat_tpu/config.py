@@ -149,10 +149,12 @@ class CFConfig:
     # at full scale, DESIGN.md 6h/6i — visit order is a TRAINING knob
     # for fixed streams, not just a perf one). "file": the parsed order
     # (reference semantics). "user": group clicks by user regardless of
-    # file order — with shuffle_mode none/once this enables the
+    # file order — with shuffle_mode "none" this enables the
     # history-gather dedup speedups (exact mode 1.76 -> 1.00 s,
     # self-attention 1.85 -> 0.34 s) on ANY input file at a measured
-    # few-% ranking cost (Recall@20 0.0122 vs 0.0126). "item": group by
+    # few-% ranking cost (Recall@20 0.0122 vs 0.0126; "once" re-permutes
+    # the individual pairs, which destroys the grouping the dedup
+    # needs). "item": group by
     # item — the measured-best CosineContrastiveLoss order (0.0127 vs
     # 0.0102 shuffled; margin-active negatives appear every step), and
     # order-neutral for the pairwise loss (0.0126). Irrelevant under

@@ -231,6 +231,21 @@ def _pairs_by_tile(
 MASK_BITS_MAX_BYTES = 1 << 30
 
 
+def pad_bits_words(lo: int, hi: int, words: int) -> np.ndarray:
+    """(words,) u32 word row with bits [lo, hi) set — the shared
+    pad-region mask (item ids at/above the real item count are
+    hard-masked everywhere a packed bitmap is built: the evaluator's
+    constructor and rebuild paths, pack_train_bits, and serving's
+    no-bitmap request path)."""
+    row = np.zeros((words,), np.uint32)
+    if hi > lo:
+        ids = np.arange(lo, hi)
+        np.bitwise_or.at(
+            row, ids >> 5, np.uint32(1) << (ids & 31).astype(np.uint32)
+        )
+    return row
+
+
 def pack_train_bits(
     train_pairs: np.ndarray | None,
     num_rows: int,
@@ -252,14 +267,7 @@ def pack_train_bits(
             np.uint32(1) << (train_pairs[:, 1] & 31).astype(np.uint32),
         )
     if pad_items > num_items:
-        pad_ids = np.arange(num_items, pad_items)
-        pad_words = np.zeros((words,), np.uint32)
-        np.bitwise_or.at(
-            pad_words,
-            pad_ids >> 5,
-            np.uint32(1) << (pad_ids & 31).astype(np.uint32),
-        )
-        bits |= pad_words[None, :]
+        bits |= pad_bits_words(num_items, pad_items, words)[None, :]
     return bits
 
 
@@ -316,14 +324,7 @@ class TiledEvaluator:
                     np.uint32(1) << (train_pairs[:, 1] & 31).astype(np.uint32),
                 )
             if pad_items > num_items:
-                pad_ids = np.arange(num_items, pad_items)
-                pad_words = np.zeros((words,), np.uint32)
-                np.bitwise_or.at(
-                    pad_words,
-                    pad_ids >> 5,
-                    np.uint32(1) << (pad_ids & 31).astype(np.uint32),
-                )
-                bits |= pad_words[None, :]
+                bits |= pad_bits_words(num_items, pad_items, words)[None, :]
             self.mask_bits = jnp.asarray(
                 bits.reshape(self.num_tiles, user_tile, words)
             )
@@ -401,14 +402,9 @@ class TiledEvaluator:
                         axis=1,
                     )
                 if pad_items > num_items:
-                    pad_ids = np.arange(num_items, pad_items)
-                    pad_words = np.zeros((w_needed,), np.uint32)
-                    np.bitwise_or.at(
-                        pad_words,
-                        pad_ids >> 5,
-                        np.uint32(1) << (pad_ids & 31).astype(np.uint32),
-                    )
-                    bits |= pad_words[None, :]
+                    bits |= pad_bits_words(
+                        num_items, pad_items, w_needed
+                    )[None, :]
                 self._mask_items = num_items
                 self.mask_bits = jnp.asarray(
                     bits.reshape(self.num_tiles, self.user_tile, w_needed)

@@ -21,6 +21,7 @@ from heat_tpu.evaluation.evaluator import (
     NEG_INF,
     TiledEvaluator,
     masked_topk,
+    pad_bits_words,
 )
 from heat_tpu.models.aggregator import (
     aggregate_history,
@@ -246,14 +247,9 @@ class Recommender:
                 # only device-side masking needed, and those bits are
                 # identical for every row — one (W,) word row broadcast.
                 w = (ic if ic > i0 else i0) // 32
-                pad_row = np.zeros((w,), np.uint32)
-                pad_ids = np.arange(n_real, w * 32, dtype=np.int64)
-                np.bitwise_or.at(
-                    pad_row,
-                    pad_ids >> 5,
-                    np.uint32(1) << (pad_ids & 31).astype(np.uint32),
+                self._pad_bits_row = jnp.asarray(
+                    pad_bits_words(n_real, w * 32, w)
                 )
-                self._pad_bits_row = jnp.asarray(pad_row)
                 if seen_pairs is not None and len(seen_pairs):
                     sp = np.asarray(seen_pairs, np.int64)
                     su = np.sort(sp[:, 0])
@@ -432,13 +428,43 @@ class Recommender:
                 f"user ids must be in [0, {num_users}); got range "
                 f"[{uids_np.min()}, {uids_np.max()}]"
             )
-        if self._bits_flat is None and not self._chunked_request:
-            ids = self.recommend_all(k, aggregate_users=aggregate_users)
-            return ids[uids_np]
-        uids = jnp.asarray(uids_np, jnp.int32)
-        rows = self._user_rows(uids, aggregate_users)
         b = int(uids_np.size)
         bpad = max(8, 1 << (b - 1).bit_length())
+        k2 = 0
+        if self._bits_flat is None:
+            # No-bitmap routing guards run BEFORE the per-request row
+            # gather/pooling — every fallback below discards the rows.
+            if not self._chunked_request:
+                ids = self.recommend_all(k, aggregate_users=aggregate_users)
+                return ids[uids_np]
+            if 2 * bpad >= num_users:
+                # A request covering most of the user table is the
+                # whole-table ranking — the tiled evaluator amortizes
+                # better per user there (measured at 2M items: 257
+                # us/user whole-table vs 413 us/user chunked; the
+                # chunked path wins only when the request is a small
+                # slice of the users, the production serving shape).
+                ids = self.recommend_all(k, aggregate_users=aggregate_users)
+                return ids[uids_np]
+            cap = 0
+            if self._seen_indptr is not None:
+                counts = (
+                    self._seen_indptr[uids_np + 1]
+                    - self._seen_indptr[uids_np]
+                )
+                cap = int(counts.max()) if counts.size else 0
+            # Round the retrieve depth to a multiple of 64 to bound jit
+            # specializations across requests with different caps.
+            k2 = -(-(k + cap) // 64) * 64
+            if k2 > 4096:
+                # Pathological: a requested user has thousands of seen
+                # items; the retrieve-depth guarantee would need a
+                # top-k wider than the chunk machinery is tuned for.
+                # Rank the whole table instead (correct, just slower).
+                ids = self.recommend_all(k, aggregate_users=aggregate_users)
+                return ids[uids_np]
+        uids = jnp.asarray(uids_np, jnp.int32)
+        rows = self._user_rows(uids, aggregate_users)
         if bpad != b:
             rows = jnp.concatenate(
                 [rows, jnp.zeros((bpad - b, rows.shape[1]), rows.dtype)]
@@ -467,37 +493,13 @@ class Recommender:
             return np.asarray(ids[:b]).astype(np.int32)
         # Huge item table WITHOUT a packed per-user bitmap (it exceeded
         # MASK_BITS_MAX_BYTES): retrieve top-(k + cap) unmasked — cap =
-        # the largest seen-count among the requested users, so after
-        # dropping seen items every row still has >= k survivors (exact
-        # under exact selection; under exact=False the per-element
-        # recall target applies as usual). Previously this fell back to
-        # ranking the WHOLE user table (measured 2.1 s at 2M items /
-        # B=512 vs 0.11 s now, DESIGN.md 6j).
-        if 2 * bpad >= num_users:
-            # A request covering most of the user table is the whole-
-            # table ranking — the tiled evaluator amortizes better per
-            # user there (measured at 2M items: 257 us/user whole-table
-            # vs 413 us/user chunked; the chunked path wins only when
-            # the request is a small slice of the users, which is the
-            # production serving shape).
-            ids = self.recommend_all(k, aggregate_users=aggregate_users)
-            return ids[uids_np]
-        cap = 0
-        if self._seen_indptr is not None:
-            counts = (
-                self._seen_indptr[uids_np + 1] - self._seen_indptr[uids_np]
-            )
-            cap = int(counts.max()) if counts.size else 0
-        # Round the retrieve depth to a multiple of 64 to bound jit
-        # specializations across requests with different caps.
-        k2 = -(-(k + cap) // 64) * 64
-        if k2 > 4096:
-            # Pathological: a requested user has thousands of seen
-            # items; the retrieve-depth guarantee would need a top-k
-            # wider than the chunk machinery is tuned for. Rank the
-            # whole table instead (correct, just slower).
-            ids = self.recommend_all(k, aggregate_users=aggregate_users)
-            return ids[uids_np]
+        # the largest seen-count among the requested users (folded into
+        # k2 by the guard block above), so after dropping seen items
+        # every row still has >= k survivors (exact under exact
+        # selection; under exact=False the per-element recall target
+        # applies as usual). Previously this fell back to ranking the
+        # WHOLE user table (measured 2.1 s at 2M items / B=512 vs
+        # 0.11 s now, DESIGN.md 6j).
         bits = jnp.broadcast_to(
             self._pad_bits_row[None, :],
             (bpad, int(self._pad_bits_row.shape[0])),

@@ -237,19 +237,24 @@ class Engine:
             self.state: TrainState = init_train_state(cfg, k_state)
         self.sampler_state = init_sampler_state(cfg, k_sampler)
 
-        self.pairs = jnp.asarray(train_data.pairs, jnp.int32)
-        if cfg.visit_order != "file" and int(self.pairs.shape[0]) > 0:
+        if (
+            cfg.visit_order != "file"
+            and int(np.shape(train_data.pairs)[0]) > 0
+        ):
             # Stable pre-sort of the visit stream (config.py docstring;
             # measured at full scale in DESIGN.md 6h/6i): "user" groups
             # clicks by user on any input order (enables the
             # history-gather dedup under fixed streams), "item" groups
-            # by item (the measured-best CCL order). Multi-host: sorts
-            # this process's user-range shard — the global visit
-            # semantics match the single-host ones per shard.
+            # by item (the measured-best CCL order). Sorted on host
+            # BEFORE the one device upload. Multi-host: sorts this
+            # process's user-range shard — the global visit semantics
+            # match the single-host ones per shard.
             col = 0 if cfg.visit_order == "user" else 1
             pnp = np.asarray(train_data.pairs)
             order = np.argsort(pnp[:, col], kind="stable")
             self.pairs = jnp.asarray(pnp[order], jnp.int32)
+        else:
+            self.pairs = jnp.asarray(train_data.pairs, jnp.int32)
         # TPU tiling pads a (U, H) int32 array's minor dim to 128 lanes —
         # 12.8x at-rest memory for H=10. Store the history flat (U*H,) when
         # the padding waste is material; train_step/compute_user_pools

@@ -341,7 +341,7 @@ def test_chunked_and_filter_request_paths_on_chip(monkeypatch):
         got = outs[name]
         for row, gu in zip(got, uids):
             for item in row:
-                assert (int(gu), int(item)) not in seen, name
+                assert int(item) not in seen.get(int(gu), set()), name
         diff = got != ref
         s_got = np.take_along_axis(sim, got.astype(np.int64), 1)
         np.testing.assert_allclose(
